@@ -1,0 +1,73 @@
+"""EngineConfig — parity with the reference's config surface.
+
+Reference: ``src/config.rs:8-31`` (fields) and ``:33-59`` (defaults).
+Timeout/thread-pool knobs that have no meaning in a batch engine are
+kept for API parity but documented as no-ops; concurrency knobs map to
+wave sizing and politeness budgets (SURVEY.md §2.2, §4.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # -- fetch acceptance / retry (src/config.rs:19,44) ----------------------
+    max_retry_times: int = 2
+    http_error_allow_codes: frozenset[int] = frozenset()
+
+    # -- concurrency → wave sizing (src/config.rs:47; downloader.rs:23,64) ---
+    concurrent_limit: int = 32
+    waiting_factor: int = 2  # max waiting = waiting_factor * concurrent_limit
+
+    # -- politeness (reference global quota, src/config.rs:12) ---------------
+    # Seconds of simulated wall-clock each wave represents; per-host budget
+    # = floor(wave_seconds / crawl_delay(host)).
+    wave_seconds: float = 60.0
+    default_crawl_delay: float = 1.0
+    # Global per-wave cap on scheduled URLs (None = unbounded). The
+    # reference's backpressure gate (waiting_factor * concurrent_limit)
+    # is intentionally NOT applied by default: at cluster scale a wave
+    # should saturate all executors, not mimic one process's queue.
+    max_wave_size: int | None = None
+
+    # -- frontier policy ------------------------------------------------------
+    # dedup=True: new links are dropped if already seen (scale mode, the
+    # north-rule Bloom/anti-join path). dedup=False: pure FIFO, duplicates
+    # crawled — the reference engine itself never dedups (its scheduler is
+    # a plain channel, src/scheduler/scheduler.rs:34-76).
+    dedup: bool = True
+    # URL-seen backend: "exact" (anti-join) | "bloom" (partitioned Bloom
+    # prune + exact confirm) | "cuckoo" (deletable entries).
+    seen_backend: str = "exact"
+    bloom_capacity: int = 1 << 20
+    bloom_fpp: float = 0.01
+
+    # -- spider admission (src/spider/manager.rs:34-36) ----------------------
+    scheduler_holding_threshold: int = 50
+
+    # -- loop termination (src/config.rs:51) ----------------------------------
+    max_waves: int = 1000
+
+    # -- robots enforcement ----------------------------------------------------
+    respect_robots: bool = True
+
+    # -- parity no-ops kept for API compatibility (src/config.rs:38-43,49,56) --
+    downloader_request_timeout_s: float = 3.0
+    downloader_connect_timeout_s: float = 3.0
+    store_cookies: bool = False
+    user_agent: str = "ironspark/0.1"
+    spider_manager_worker_threads: int = 4
+    pipeline_worker_threads: int = 4
+
+    # -- engine-plane knobs (ours) ---------------------------------------------
+    shuffle_partitions: int = 32
+    # Hosts holding more than skew_salt_threshold of a wave's rows get
+    # salted into skew_salt_buckets sub-keys for the politeness rank
+    # (two-phase: salted partial rank, then exact per-host cap).
+    skew_salt_buckets: int = 8
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1  # waves between checkpoints
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)

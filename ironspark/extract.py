@@ -1,0 +1,195 @@
+"""Pure-Python extraction cores — the byte-identity contract.
+
+Reproduces the reference spider's extraction semantics exactly
+(``examples/basic_spider.rs:32-66``, ``src/response.rs:30-32``):
+
+* strict UTF-8 decode: invalid bytes -> None (NOT lossy replacement —
+  Spark's built-in ``decode(col,'UTF-8')`` substitutes U+FFFD, so this
+  must run inside the Arrow UDF).
+* first ``<article>`` element; article_text = concatenation of ALL
+  descendant text nodes in document order, trimmed.
+* first ``article > author`` DIRECT child; author_text likewise.
+* missing article or author -> no item.
+* ``title = article_text.replace(author_text, "").trim()`` — replace
+  ALL occurrences (the reference's Rust ``str::replace`` quirk,
+  ``basic_spider.rs:60``).
+* number = first ``\\d+`` in title parsed as u32 (ASCII digits only,
+  overflow -> None, matching Rust ``parse::<u32>``); number None ->
+  the whole parse yields nothing (reference ``SpiderResult::None``
+  path — not even a discovered mark, ``basic_spider.rs:117-143``).
+* next link = RFC 3986 join of ``./article/{number-1}`` against the
+  response URL; chain stops at number == 1.
+
+These are deliberately dependency-free (stdlib ``html.parser``) so the
+same bytes-in/bytes-out functions run in pytest and inside executors.
+The hand-rolled tree builder covers the reference fixture grammar; a
+full HTML5 parser is intentionally avoided (SURVEY.md §7.5: lenient
+parsers differ on text-node edges).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+_U32_MAX = 0xFFFFFFFF
+_NUM_RE = re.compile(r"\d+")
+
+# HTML void elements never take children (html5ever treats them the same).
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+@dataclass
+class _Node:
+    tag: str
+    children: list = field(default_factory=list)  # _Node | str text
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal stack-based DOM: enough for element selection + text()."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag)
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag))
+
+    def handle_endtag(self, tag):
+        # pop to the innermost matching open element, if any
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _find_first(node: _Node, tag: str) -> _Node | None:
+    """First element with tag in document order (descendant search)."""
+    for ch in node.children:
+        if isinstance(ch, _Node):
+            if ch.tag == tag:
+                return ch
+            found = _find_first(ch, tag)
+            if found is not None:
+                return found
+    return None
+
+
+def _first_direct_child(node: _Node, tag: str) -> _Node | None:
+    for ch in node.children:
+        if isinstance(ch, _Node) and ch.tag == tag:
+            return ch
+    return None
+
+
+def _text(node: _Node) -> str:
+    """Concatenate descendant text nodes in document order."""
+    out: list[str] = []
+    stack: list = list(reversed(node.children))
+    while stack:
+        ch = stack.pop()
+        if isinstance(ch, str):
+            out.append(ch)
+        else:
+            stack.extend(reversed(ch.children))
+    return "".join(out)
+
+
+def decode_strict(body: bytes | None) -> str | None:
+    """Reference ``Response::text()``: None unless valid UTF-8."""
+    if body is None:
+        return None
+    try:
+        return body.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return None
+
+
+def parse_article_html(html: str) -> tuple[str, str] | None:
+    """(title, author) per the reference extractor, or None."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        return None
+    article = _find_first(builder.root, "article")
+    if article is None:
+        return None
+    author = _first_direct_child(article, "author")
+    if author is None:
+        return None
+    article_text = _text(article).strip()
+    author_text = _text(author).strip()
+    title = article_text.replace(author_text, "").strip()
+    return title, author_text
+
+
+def extract_number(s: str) -> int | None:
+    """First \\d+ parsed as u32; Rust parse semantics (ASCII, no overflow)."""
+    m = _NUM_RE.search(s)
+    if m is None:
+        return None
+    digits = m.group()
+    if not digits.isascii() or int(digits) > _U32_MAX:
+        return None
+    return int(digits)
+
+
+def article_text_of(html: str) -> str | None:
+    """Full trimmed article text (the byte-identity oracle column)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        return None
+    article = _find_first(builder.root, "article")
+    if article is None:
+        return None
+    return _text(article).strip()
+
+
+def next_link(url: str, number: int) -> str | None:
+    """Reference chain rule: ./article/{n-1}, stop at 1."""
+    if number == 1:
+        return None
+    return urljoin(url, f"./article/{number - 1}")
+
+
+def parse_response(url: str, body: bytes | None):
+    """Full ExampleSpider.parse contract for one response.
+
+    Returns (item | None, outlinks list, discovered flag, text | None).
+    item = (title, author, number); discovered mirrors the reference's
+    mark_discovered call site (only on numbered items).
+    """
+    text = decode_strict(body)
+    if text is None:
+        return None, [], False, None
+    parsed = parse_article_html(text)
+    if parsed is None:
+        return None, [], False, None
+    title, author = parsed
+    number = extract_number(title)
+    if number is None:
+        return None, [], False, None
+    link = next_link(url, number)
+    outlinks = [link] if link is not None else []
+    return (title, author, number), outlinks, True, article_text_of(text)

@@ -1,0 +1,134 @@
+"""All StructType schemas for the engine plane (SURVEY.md §1).
+
+Reference record types (cites into /root/reference):
+  Request  src/request.rs:8-15   -> FRONTIER_SCHEMA rows
+  Response src/response.rs:8-26  -> RESPONSE columns (body BINARY)
+  items    src/item.rs:3         -> per-type item schemas + item_type tag
+  stats    src/*/stat.rs         -> METRICS_SCHEMA rows per (wave, partition)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# -- corpus: the crawl substrate (BASELINE.json input_hint shape) -----------
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+# -- seeds (FIXTURES.md §2) --------------------------------------------------
+SEEDS_SCHEMA = StructType(
+    [
+        StructField("spider_id", LongType()),
+        StructField("url", StringType()),
+        StructField("seed_rank", IntegerType()),
+    ]
+)
+
+# -- frontier: the scheduler state table (FIXTURES.md §3) ---------------------
+# status: pending | fetched | failed | exhausted
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType()),
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("spider_id", LongType()),
+        StructField("seq", LongType()),
+        StructField("wave", IntegerType()),
+        StructField("attempt", IntegerType()),
+        StructField("method", StringType()),
+        StructField("headers", MapType(StringType(), StringType())),
+        StructField("body", StringType()),
+        StructField("meta", MapType(StringType(), StringType())),
+        StructField("status", StringType()),
+    ]
+)
+
+# -- robots / politeness budgets (FIXTURES.md §4) -----------------------------
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("crawl_delay", DoubleType()),
+        StructField("disallow", ArrayType(StringType())),
+    ]
+)
+
+# -- parse output: a union of outlink rows and item rows ----------------------
+# kind: "request" | "item"  (reference SpiderResult enum,
+# src/spider/spider.rs:37-45; routing src/spider/manager.rs:283-307)
+PARSE_OUT_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("spider_id", LongType()),
+        StructField("parent_seq", LongType()),
+        StructField("link_index", IntegerType()),
+        StructField("out_url", StringType()),
+        StructField("item_type", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("number", LongType()),
+        StructField("src_url", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+# -- extracted article items (reference ArticleItem, basic_spider.rs:21-25) ---
+ITEMS_SCHEMA = StructType(
+    [
+        StructField("item_type", StringType()),
+        StructField("spider_id", LongType()),
+        StructField("src_url", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("number", LongType()),
+        StructField("text", StringType()),
+        StructField("wave", IntegerType()),
+    ]
+)
+
+# -- per-(wave, partition) lineage + metrics (FIXTURES.md §8) ------------------
+METRICS_SCHEMA = StructType(
+    [
+        StructField("wave", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("scheduled", LongType()),
+        StructField("fetched", LongType()),
+        StructField("failed", LongType()),
+        StructField("retried", LongType()),
+        StructField("parsed", LongType()),
+        StructField("items", LongType()),
+        StructField("outlinks", LongType()),
+        StructField("deduped", LongType()),
+        StructField("bytes_req", LongType()),
+        StructField("bytes_resp", LongType()),
+        StructField("t_fetch_ms", DoubleType()),
+        StructField("t_parse_ms", DoubleType()),
+    ]
+)
+
+SEEN_SCHEMA = StructType([StructField("url_canon", StringType())])
+
+CRAWL_ORDER_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("wave", IntegerType()),
+        StructField("url_canon", StringType()),
+    ]
+)

@@ -1,0 +1,124 @@
+"""URL canonicalization + host extraction (SURVEY.md §2.4 P8).
+
+The reference canonicalizes implicitly through ``reqwest::Url`` parsing
+(lowercased scheme/host, default-port drop — ``examples/basic_spider.rs:96-98``
+and RFC 3986 ``join`` at ``:125``). The north rule makes it explicit:
+scheme/host lowercasing, percent-decode of unreserved characters, query
+parameter sort, fragment strip.
+
+All engine-plane application is via vectorized pandas UDFs (Arrow
+batches) — never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from urllib.parse import quote, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+# RFC 3986 unreserved characters: decode if percent-encoded. Everything
+# else keeps its escape, normalized to uppercase hex (%2f -> %2F, never
+# decoded — decoding reserved chars like %2F would change path semantics).
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+# raw characters allowed to stay literal when re-encoding stray bytes
+_SAFE_PATH = "%/:@!$&'()*+,;=~-._"
+_SAFE_QUERY = "%=&:@!$'()*+,;/?~-._"
+
+
+def _norm_pct(s: str) -> str:
+    """Decode %XX only for unreserved chars; uppercase the rest."""
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Canonical form of an absolute URL; None for unparseable input.
+
+    scheme+host lowercase, default port dropped, percent-decode then
+    re-encode (normalizes unreserved octets like %7E -> ~ and uppercases
+    remaining hex), dot-segment removal in path, query params sorted
+    bytewise, fragment stripped, empty path -> "/".
+    """
+    if url is None:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    if not parts.scheme or not parts.netloc:
+        return None
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if parts.username:
+        userinfo = parts.username + (":" + parts.password if parts.password else "")
+        netloc = userinfo + "@" + netloc
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc += f":{port}"
+
+    path = parts.path or "/"
+    # dot-segment removal (RFC 3986 §5.2.4) without collapsing '//'
+    if "." in path:
+        norm = posixpath.normpath(path)
+        if path.endswith("/") and not norm.endswith("/"):
+            norm += "/"
+        path = norm if norm != "." else "/"
+    path = quote(_norm_pct(path), safe=_SAFE_PATH)
+
+    query = ""
+    if parts.query:
+        safe_piece = _SAFE_QUERY.replace("&", "")
+        pieces = [quote(_norm_pct(p), safe=safe_piece)
+                  for p in parts.query.split("&") if p]
+        query = "&".join(sorted(pieces))
+
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str | None) -> str | None:
+    """Lowercased registered host of a URL (politeness partition key)."""
+    if url is None:
+        return None
+    try:
+        return (urlsplit(url).hostname or "").lower() or None
+    except ValueError:
+        return None
+
+
+# -- vectorized pandas cores (shared by pandas_udf and mapInPandas) ----------
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url)
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of)
+
+
+canonicalize_udf = F.pandas_udf(canonicalize_series, StringType())
+host_udf = F.pandas_udf(host_series, StringType())
+
+
+def with_canonical(df, url_col: str = "url"):
+    """Add url_canon + host columns to a DataFrame (Arrow-vectorized)."""
+    return df.withColumn("url_canon", canonicalize_udf(F.col(url_col))).withColumn(
+        "host", host_udf(F.col(url_col))
+    )
