@@ -24,7 +24,7 @@ idiomatic Spark DataFrame program:
 """
 
 from ironspark.config import EngineConfig
-from ironspark.spider import Spider, ArticleSpider
+from ironspark.spider import Spider, ArticleSpider, LinkSpider
 
-__all__ = ["EngineConfig", "Spider", "ArticleSpider"]
+__all__ = ["EngineConfig", "Spider", "ArticleSpider", "LinkSpider"]
 __version__ = "0.1.0"

@@ -1,0 +1,385 @@
+"""CrawlEngine: the wave-loop driver (reference Engine, src/engine.rs:84-212).
+
+The reference's five free-running threads (SpiderManager, Downloader,
+PipelineManager, monitor, TUI — ``src/engine.rs:100-187``) collapse
+into a synchronous loop over "waves"; concurrency lost between stages
+is regained as partition parallelism inside each wave, and what is
+gained is determinism (exact crawl-order replay) and snapshot
+checkpointing (every wave commit is a resumable snapshot) — SURVEY.md
+§3.4.
+
+One wave = politeness-select → request hooks → fetch (corpus join) →
+status filter + retry union → response hooks → parse (mapInPandas) →
+split items/outlinks → canonicalize → seen-dedup → seq-extend →
+frontier append. State tables (frontier, seen, items, crawl order,
+metrics) are materialized per wave under the checkpoint dir — parquet
+directories with a JSON manifest (the Iceberg-snapshot pattern behind
+a minimal TableIO seam; swaps to real Iceberg where the runtime jar
+exists). Idle shutdown (monitor.rs:62-72) = frontier-empty probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironspark.config import EngineConfig
+from ironspark.fetch import fetch_from_corpus, split_accepted
+from ironspark.frontier import (
+    canonicalize_outlinks,
+    enqueue_outlinks,
+    seeds_to_frontier,
+)
+from ironspark.metrics import wave_metrics
+from ironspark.parse import parse_responses
+from ironspark.pipeline import PipelineManager
+from ironspark.politeness import robots_disallow_filter, select_wave
+from ironspark.schemas import SEEDS_SCHEMA
+from ironspark.seen import BloomFilter, build_bloom
+from ironspark.spider import Spider
+
+_FRONTIER_COLS = [
+    "url_canon", "url", "host", "spider_id", "seq", "wave", "attempt",
+    "method", "headers", "body", "meta", "status",
+]
+
+
+@dataclass
+class CrawlStats:
+    """Reference Engine::defer summary (src/engine.rs:190-212)."""
+
+    waves: int = 0
+    scheduled: int = 0
+    fetched: int = 0
+    failed: int = 0
+    items: int = 0
+    outlinks: int = 0
+    deduped: int = 0
+    exhausted: int = 0
+    wall_s: float = 0.0
+    run_dir: str = ""
+
+    @property
+    def urls_per_sec(self) -> float:
+        # the authoritative metric: frontier URLs scheduled+deduped/sec
+        return (self.scheduled + self.deduped) / self.wall_s if self.wall_s else 0.0
+
+
+class TableIO:
+    """Parquet-dir snapshot store with a JSON manifest (Iceberg seam)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str, wave: int | None = None) -> str:
+        return (
+            os.path.join(self.root, name)
+            if wave is None
+            else os.path.join(self.root, name, f"wave={wave}")
+        )
+
+    def write(self, df: DataFrame, name: str, wave: int | None = None) -> None:
+        df.write.mode("overwrite").parquet(self.path(name, wave))
+
+    def read(self, name: str, wave: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self.path(name, wave))
+
+    def read_all_waves(self, name: str) -> DataFrame | None:
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base) or not os.listdir(base):
+            return None
+        return self.spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, d) for d in sorted(os.listdir(base)) if d.startswith("wave=")]
+        )
+
+    def manifest(self) -> dict | None:
+        p = os.path.join(self.root, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def commit(self, manifest: dict) -> None:
+        p = os.path.join(self.root, "manifest.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, p)  # atomic: a crash never leaves a torn manifest
+
+
+class CrawlEngine:
+    """The public engine API (reference Engine::new, src/engine.rs:39-82)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        spiders: dict[int, Spider],
+        config: EngineConfig | None = None,
+        robots: DataFrame | None = None,
+        pipelines: PipelineManager | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.spiders = spiders
+        self.cfg = config or EngineConfig()
+        self.robots = robots
+        self.pipelines = pipelines
+        # middleware hooks (north rule: request/response hooks are
+        # DataFrame transform stages; reference dataflow engine.rs:100-188)
+        self.request_hooks: list[Callable[[DataFrame], DataFrame]] = []
+        self.response_hooks: list[Callable[[DataFrame], DataFrame]] = []
+        self._bloom: BloomFilter | None = None
+
+    def register_request_hook(self, fn: Callable[[DataFrame], DataFrame]) -> None:
+        self.request_hooks.append(fn)
+
+    def register_response_hook(self, fn: Callable[[DataFrame], DataFrame]) -> None:
+        self.response_hooks.append(fn)
+
+    # -- seen-set backends ---------------------------------------------------
+
+    def _filter_new(self, candidates: DataFrame, seen: DataFrame) -> DataFrame:
+        """Exact anti-join, optionally pruned by the incremental Bloom."""
+        if self.cfg.seen_backend == "bloom" and self._bloom is not None:
+            bcast = self.spark.sparkContext.broadcast(
+                (self._bloom.m, self._bloom.k, self._bloom.bits.tobytes())
+            )
+            import numpy as np
+            import pandas as pd
+
+            @F.pandas_udf("boolean")
+            def maybe_seen(urls: pd.Series) -> pd.Series:
+                m, k, raw = bcast.value
+                bf = BloomFilter(2, 0.5)
+                bf.m, bf.k = m, k
+                bf.bits = np.frombuffer(raw, dtype=np.uint64)
+                return pd.Series(bf.contains_series(urls))
+
+            tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_canon")))
+            definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
+            confirm = (
+                tagged.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(seen, "url_canon", "left_anti")
+            )
+            return definite_new.unionByName(confirm)
+        return candidates.join(seen, "url_canon", "left_anti")
+
+    def _bloom_add(self, new_urls: DataFrame) -> None:
+        if self.cfg.seen_backend != "bloom":
+            return
+        delta = build_bloom(
+            new_urls.select("url_canon"), "url_canon", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+        )
+        self._bloom = delta if self._bloom is None else self._bloom.merge(delta)
+
+    # -- run ------------------------------------------------------------------
+
+    def run(
+        self,
+        seeds=None,
+        run_dir: str | None = None,
+        resume: bool = False,
+    ) -> CrawlStats:
+        cfg = self.cfg
+        run_dir = run_dir or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="ironspark_")
+        io = TableIO(self.spark, run_dir)
+        stats = CrawlStats(run_dir=run_dir)
+        t_start = time.monotonic()
+
+        if resume:
+            man = io.manifest()
+            if man is None:
+                raise FileNotFoundError(f"no manifest to resume in {run_dir}")
+            wave = man["next_wave"]
+            next_seq = man["next_seq"]
+            stats.deduped = man.get("deduped", 0)
+            if cfg.seen_backend == "bloom" and cfg.dedup:
+                self._bloom = build_bloom(
+                    io.read("seen"), "url_canon", cfg.bloom_capacity, cfg.bloom_fpp
+                )
+        else:
+            if os.path.isdir(run_dir):
+                shutil.rmtree(run_dir)
+            io = TableIO(self.spark, run_dir)
+            if isinstance(seeds, (list, tuple)):
+                import pandas as pd
+
+                seeds = self.spark.createDataFrame(
+                    pd.DataFrame(seeds, columns=["spider_id", "url", "seed_rank"]),
+                    SEEDS_SCHEMA,
+                )
+            front0 = seeds_to_frontier(seeds, dedup=cfg.dedup)
+            front0 = robots_disallow_filter(front0, self.robots if cfg.respect_robots else None)
+            io.write(front0, "frontier", 0)
+            front0 = io.read("frontier", 0)
+            io.write(front0.select("url_canon").distinct(), "seen")
+            next_seq = (front0.agg(F.max("seq")).first()[0] or 0)
+            wave = 0
+            io.commit({"next_wave": 0, "next_seq": int(next_seq), "deduped": 0})
+            if cfg.seen_backend == "bloom" and cfg.dedup:
+                self._bloom_add(front0)
+
+        while wave < cfg.max_waves:
+            pending = io.read("frontier", wave)
+            if pending.limit(1).count() == 0:  # idle shutdown (monitor.rs:62-72)
+                break
+            seen = io.read("seen")
+
+            # schedule (F3/F7): politeness window-rank + global cap
+            scheduled, deferred = select_wave(
+                pending, self.robots if cfg.respect_robots else None, cfg
+            )
+            for hook in self.request_hooks:
+                scheduled = hook(scheduled)
+            scheduled = scheduled.withColumn("partition_id", F.spark_partition_id())
+            io.write(scheduled, "_scheduled")
+            scheduled = io.read("_scheduled")
+            n_sched = scheduled.count()
+            stats.scheduled += n_sched
+            io.write(
+                scheduled.select("seq", "wave", "url_canon").withColumn(
+                    "wave", F.lit(wave)
+                ),
+                "order",
+                wave,
+            )
+
+            # fetch (S3/D1-D5)
+            t0 = time.monotonic()
+            responses = fetch_from_corpus(scheduled, self.pages)
+            for hook in self.response_hooks:
+                responses = hook(responses)
+            io.write(responses, "_responses")
+            responses = io.read("_responses")
+            t_fetch_ms = (time.monotonic() - t0) * 1000
+
+            accepted, retry, exhausted = split_accepted(responses, cfg)
+            n_exhausted = exhausted.count()
+            stats.exhausted += n_exhausted
+
+            # parse (P1-P9)
+            t1 = time.monotonic()
+            parse_out = parse_responses(accepted, self.spiders)
+            io.write(parse_out, "_parse_out")
+            parse_out = io.read("_parse_out")
+            t_parse_ms = (time.monotonic() - t1) * 1000
+
+            # items -> pipelines -> sink (I1-I5, S4)
+            items = (
+                parse_out.filter(F.col("kind") == "item")
+                .select(
+                    "item_type", "spider_id", "src_url", "title", "author",
+                    "number", "text",
+                )
+                .withColumn("wave", F.lit(wave))
+            )
+            if self.pipelines is not None:
+                items, _unrouted = self.pipelines.process(items)
+            io.write(items, "items", wave)
+            stats.items += io.read("items", wave).count()
+
+            # outlinks -> canonicalize -> dedup -> seq -> frontier append
+            outlinks = parse_out.filter(F.col("kind") == "request").select(
+                "spider_id", "parent_seq", "link_index", "out_url"
+            )
+            candidates = canonicalize_outlinks(outlinks, dedup=cfg.dedup)
+            candidates = robots_disallow_filter(
+                candidates, self.robots if cfg.respect_robots else None
+            )
+            n_candidates = candidates.count()
+            if cfg.dedup:
+                new_rows = self._filter_new(candidates, seen)
+            else:
+                new_rows = candidates
+            new_front = enqueue_outlinks(new_rows, next_seq, wave + 1)
+            retry_front = retry.select(*_FRONTIER_COLS)
+            frontier_next = (
+                deferred.select(*_FRONTIER_COLS)
+                .unionByName(retry_front)
+                .unionByName(new_front)
+            )
+            io.write(frontier_next, "frontier", wave + 1)
+            n_new = io.read("frontier", wave + 1).filter(
+                F.col("wave") == wave + 1
+            ).count()
+            next_seq += n_new
+            n_dedup = n_candidates - n_new
+            stats.deduped += max(n_dedup, 0)
+            stats.outlinks += n_candidates
+
+            if cfg.dedup:
+                new_seen = seen.unionByName(
+                    io.read("frontier", wave + 1)
+                    .filter(F.col("wave") == wave + 1)
+                    .select("url_canon")
+                ).distinct()
+                io.write(new_seen, "_seen_next")
+                # swap: parquet dirs can't be overwritten while being read
+                shutil.rmtree(io.path("seen"), ignore_errors=True)
+                os.rename(io.path("_seen_next"), io.path("seen"))
+                self._bloom_add(io.read("frontier", wave + 1).filter(F.col("wave") == wave + 1))
+
+            m = wave_metrics(
+                wave,
+                responses,
+                parse_out,
+                max(n_dedup, 0),
+                t_fetch_ms,
+                t_parse_ms,
+                cfg.max_retry_times,
+            )
+            io.write(m, "metrics", wave)
+            fetched = responses.filter(F.col("resp_status") < 400).count()
+            stats.fetched += fetched
+            stats.failed += n_sched - fetched
+
+            wave += 1
+            stats.waves = wave
+            if wave % cfg.checkpoint_every == 0:
+                io.commit(
+                    {
+                        "next_wave": wave,
+                        "next_seq": int(next_seq),
+                        "deduped": int(stats.deduped),
+                    }
+                )
+            self.spark.catalog.clearCache()
+
+        for sp in self.spiders.values():
+            sp.close()  # reference close hook (spider.rs:51-53)
+        io.commit(
+            {
+                "next_wave": wave,
+                "next_seq": int(next_seq),
+                "deduped": int(stats.deduped),
+                "done": True,
+            }
+        )
+        stats.wall_s = time.monotonic() - t_start
+        return stats
+
+    # -- result accessors ------------------------------------------------------
+
+    def items_df(self, run_dir: str) -> DataFrame | None:
+        return TableIO(self.spark, run_dir).read_all_waves("items")
+
+    def crawl_order_df(self, run_dir: str) -> DataFrame | None:
+        return TableIO(self.spark, run_dir).read_all_waves("order")
+
+    def metrics_df(self, run_dir: str) -> DataFrame | None:
+        return TableIO(self.spark, run_dir).read_all_waves("metrics")
+
+    def seen_df(self, run_dir: str) -> DataFrame:
+        return TableIO(self.spark, run_dir).read("seen")

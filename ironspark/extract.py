@@ -173,6 +173,38 @@ def next_link(url: str, number: int) -> str | None:
     return urljoin(url, f"./article/{number - 1}")
 
 
+class _LinkHarvester(HTMLParser):
+    """All <a href> values in document order (general-web-graph spider)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
+
+
+def harvest_links(html: str, base_url: str) -> list[str]:
+    """Absolute URLs of every <a href>, resolved RFC 3986 against base."""
+    h = _LinkHarvester()
+    try:
+        h.feed(html)
+        h.close()
+    except Exception:
+        return []
+    out = []
+    for href in h.hrefs:
+        try:
+            out.append(urljoin(base_url, href))
+        except ValueError:
+            continue
+    return out
+
+
 def parse_response(url: str, body: bytes | None):
     """Full ExampleSpider.parse contract for one response.
 

@@ -1,0 +1,115 @@
+"""Fetch stage: corpus equi-join, acceptance filter, retry policy.
+
+At test scale, "fetch" is a deterministic left join of the scheduled
+frontier against the pages corpus (the reference's live reqwest GET,
+``src/downloader/downloader.rs:152-226``, replaced per SURVEY §2.1 S3).
+A real deployment swaps in a pooled-HTTP ``mapInPandas`` behind the
+same column contract (see ``http_fetch_stage`` stub).
+
+Scale shape: the scheduled batch is orders of magnitude smaller than
+the corpus. The session enables Spark's runtime Bloom-filter pushdown,
+which injects the scheduled url_canon set into the corpus parquet scan;
+AQE then picks broadcast/skew-safe strategies. The corpus read prunes
+to exactly the joined columns (url, warc_ts, html) — Catalyst column
+pruning keeps ``text``/``lang`` out of the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ironspark.config import EngineConfig
+
+# HTTP wire-size estimate, reference Request::size (src/request.rs:18-47):
+# "METHOD path HTTP/1.1\r\n" + headers + "\r\n" + body
+_REQ_OVERHEAD = 1 + 1 + 8 + 2 + 2  # spaces + "HTTP/1.1" + CRLFs
+
+
+def fetch_from_corpus(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """scheduled frontier rows -> response rows (status, body bytes).
+
+    Corpus hit -> 200 with the page's html bytes; miss -> 404 with null
+    body (the reference surfaces non-2xx as rejectable responses,
+    ``downloader.rs:236-247``).
+    """
+    corpus = pages.select(
+        F.col("url").alias("_page_url"),
+        F.col("html").alias("body_bytes"),
+        F.col("warc_ts"),
+    )
+    joined = scheduled.join(
+        corpus, scheduled["url_canon"] == corpus["_page_url"], "left"
+    ).drop("_page_url")
+
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    return (
+        joined.withColumn(
+            "resp_status",
+            F.when(F.col("body_bytes").isNotNull(), F.lit(200)).otherwise(F.lit(404)),
+        )
+        .withColumn(
+            "bytes_req",
+            (
+                F.length("method")
+                + F.length(path)
+                + F.lit(_REQ_OVERHEAD)
+                + F.coalesce(F.length("body"), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "bytes_resp", F.coalesce(F.length("body_bytes"), F.lit(0)).cast("long")
+        )
+    )
+
+
+def split_accepted(
+    responses: DataFrame, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(accepted, retry, exhausted) per the reference acceptance rule.
+
+    Accept when status < 400 OR status in http_error_allow_codes
+    (``downloader.rs:236-247``; config ``src/config.rs:19``). Rejected
+    rows retry with attempt+1 up to max_retry_times (linear backoff
+    ``100ms*(attempt+1)`` becomes "next wave" — deterministic,
+    ``downloader.rs:210-223``), then are exhausted.
+    """
+    allow = list(cfg.http_error_allow_codes)
+    ok = F.col("resp_status") < 400
+    if allow:
+        ok = ok | F.col("resp_status").isin(allow)
+    accepted = responses.filter(ok)
+    rejected = responses.filter(~ok)
+    retry = (
+        rejected.filter(F.col("attempt") < cfg.max_retry_times)
+        .withColumn("attempt", F.col("attempt") + 1)
+        .withColumn("status", F.lit("pending"))
+    )
+    exhausted = rejected.filter(
+        F.col("attempt") >= cfg.max_retry_times
+    ).withColumn("status", F.lit("exhausted"))
+    return accepted, retry, exhausted
+
+
+def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Live-HTTP fetch variant (same column contract as fetch_from_corpus).
+
+    Would run pooled HTTP inside mapInPandas (one connection pool per
+    executor task, politeness already enforced upstream). Deliberately
+    stubbed in this sandbox: no network, and determinism is the point
+    of the corpus join. Reference behavior it would mirror:
+    downloader.rs:152-226 (timeouts, UA, redirect-following).
+    """
+    raise NotImplementedError(
+        "live HTTP fetch is out of scope in the sandbox; use fetch_from_corpus"
+    )
+
+
+def error_class_expr():
+    """D3 error classification (downloader.rs:266-286) as a column expr."""
+    return (
+        F.when(F.col("resp_status") == 404, F.lit("request"))
+        .when(F.col("resp_status") >= 500, F.lit("request"))
+        .when(F.col("resp_status") == 408, F.lit("timeout"))
+        .otherwise(F.lit("unknown"))
+    )

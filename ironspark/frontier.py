@@ -1,0 +1,128 @@
+"""Frontier operations: FIFO seq discipline, seed injection, enqueue.
+
+Reference: the FIFO SimpleScheduler (``src/scheduler/scheduler.rs:34-76``)
+made deterministic — Spark promises no cross-partition order, so FIFO is
+materialized as a monotone ``seq`` column (SURVEY.md §4.3.3): seeds are
+numbered by (spider_id, seed_rank, url); discovered links by
+(parent_seq, link_index). Dequeue order is then simply ``orderBy(seq)``.
+
+Scale note: a naive ``row_number().over(Window.orderBy(...))`` funnels
+the whole frontier through ONE task. ``with_global_seq`` instead does a
+distributed range-partitioned sort, numbers rows per partition in
+parallel, and shifts by per-partition offsets (a tiny driver-side
+cumulative sum) — the classic scalable zip-with-index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ironspark.url import with_canonical
+
+_FRONTIER_COLS = [
+    "url_canon", "url", "host", "spider_id", "seq", "wave", "attempt",
+    "method", "headers", "body", "meta", "status",
+]
+
+
+def with_global_seq(
+    df: DataFrame, order_cols: list[str], base_seq: int = 0, out: str = "seq"
+) -> DataFrame:
+    """Dense global 1-based sequence by order_cols, offset by base_seq.
+
+    order_cols must be a unique total order. Three parallel steps:
+    range-repartition by the order (distributed sort), per-partition
+    row_number (parallel window), per-partition offsets via a tiny
+    count-collect. No single-partition global window anywhere.
+    """
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    d = df.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    counts = dict(d.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    out_df = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out, (F.lit(base_seq) + off_expr + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn")
+    )
+    return out_df
+
+
+def _first_per_url(f: DataFrame) -> DataFrame:
+    """Keep the lowest-seq row per url_canon (within-batch self-dedup)."""
+    wd = Window.partitionBy("url_canon").orderBy("seq")
+    return (
+        f.withColumn("_rk", F.row_number().over(wd))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def _finish_frontier(f: DataFrame, wave: int) -> DataFrame:
+    return (
+        f.withColumn("wave", F.lit(wave))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("method", F.lit("GET"))
+        .withColumn("headers", F.lit(None).cast("map<string,string>"))
+        .withColumn("body", F.lit(None).cast("string"))
+        .withColumn("meta", F.lit(None).cast("map<string,string>"))
+        .withColumn("status", F.lit("pending"))
+        .select(*_FRONTIER_COLS)
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame, dedup: bool = True) -> DataFrame:
+    """Seed rows -> wave-0 pending frontier with deterministic seq.
+
+    Reference seed injection: ``src/spider/manager.rs:239-279``. Seed
+    dedup (dedup=True) keeps the FIRST occurrence per url_canon — the
+    reference example emits 30 duplicate seeds on purpose
+    (basic_spider.rs:93-107), which reference-parity mode (dedup=False)
+    preserves.
+    """
+    f = with_canonical(seeds, "url").filter(F.col("url_canon").isNotNull())
+    f = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], 0)
+    if dedup:
+        f = _first_per_url(f)
+    return _finish_frontier(f, wave=0)
+
+
+def canonicalize_outlinks(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
+    """Parse-emitted request rows -> canonicalized candidate rows.
+
+    outlinks columns: spider_id, parent_seq, link_index, out_url.
+    dedup=True self-dedups within the batch, first occurrence in
+    (parent_seq, link_index) order winning — the reference's arrival
+    discipline under canonical single-threaded execution (SURVEY.md
+    §4.3.3). Cross-wave dedup (the seen set) and seq assignment happen
+    AFTER this step, so dropped duplicates never consume seq numbers.
+    """
+    f = with_canonical(outlinks, "out_url").filter(F.col("url_canon").isNotNull())
+    if dedup:
+        wd = Window.partitionBy("url_canon").orderBy("parent_seq", "link_index")
+        f = (
+            f.withColumn("_rk", F.row_number().over(wd))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    return f.withColumnRenamed("out_url", "url").select(
+        "url_canon", "url", "host", "spider_id", "parent_seq", "link_index"
+    )
+
+
+def enqueue_outlinks(candidates: DataFrame, base_seq: int, wave: int) -> DataFrame:
+    """Canonicalized (and seen-filtered) candidates -> pending frontier
+    rows with seq continuing the global FIFO."""
+    f = with_global_seq(candidates, ["parent_seq", "link_index"], base_seq)
+    return _finish_frontier(f.drop("parent_seq", "link_index"), wave=wave)

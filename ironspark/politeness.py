@@ -1,0 +1,97 @@
+"""Per-host politeness scheduler: salted window-rank priority queue.
+
+Reference counterparts: the FIFO dequeue + backpressure gate
+(``src/downloader/downloader.rs:99-137``), the global governor rate
+limiter (``src/config.rs:12``, ``downloader.rs:45-48,165-168``), and the
+bounded-waiting factor (``downloader.rs:23,64``). In batch form each
+wave represents ``wave_seconds`` of wall-clock; a host with robots
+crawl_delay d may be fetched floor(wave_seconds/d) times per wave.
+
+Skew (the mega-domain problem) is handled two-phase, per the north
+rule: phase 1 ranks within (host, salt) — the mega-host's millions of
+pending rows are ranked in ``skew_salt_buckets`` parallel groups and
+cut to ``budget`` each, bounding any single window partition; phase 2
+ranks the ≤ buckets×budget survivors exactly per host and applies the
+true budget. The final output is byte-identical to a naive global
+per-host rank (phase 1 can only drop rows that phase 2 would drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ironspark.config import EngineConfig
+
+
+def with_budget(
+    pending: DataFrame, robots: DataFrame | None, cfg: EngineConfig
+) -> DataFrame:
+    """Join per-host crawl_delay (broadcast — robots is a small dim) and
+    derive the integer per-wave budget."""
+    if robots is not None:
+        pending = pending.join(
+            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        pending = pending.withColumn("crawl_delay", F.lit(None).cast("double"))
+    return pending.withColumn(
+        "budget",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(cfg.wave_seconds)
+                / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
+            ),
+        ).cast("int"),
+    )
+
+
+def robots_disallow_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop URLs whose path starts with a disallowed prefix for its host."""
+    if robots is None:
+        return pending
+    dis = robots.select("host", "disallow").filter(F.size("disallow") > 0)
+    joined = pending.join(F.broadcast(dis), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~blocked).drop("disallow")
+
+
+def select_wave(
+    pending: DataFrame, robots: DataFrame | None, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(scheduled, deferred) for this wave.
+
+    scheduled = per-host lowest-seq rows within budget (two-phase salted
+    rank), optionally capped globally by cfg.max_wave_size in seq order
+    (the reference's global quota / backpressure analog). deferred =
+    everything else, untouched, stays pending next wave.
+    """
+    p = with_budget(pending, robots, cfg)
+
+    # phase 1: salted partial rank — bounds the biggest window partition
+    salt = F.pmod(F.xxhash64("url_canon"), F.lit(cfg.skew_salt_buckets))
+    w1 = Window.partitionBy("host", salt).orderBy("seq")
+    p1 = p.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("budget")
+    )
+
+    # phase 2: exact per-host rank over ≤ buckets×budget survivors
+    w2 = Window.partitionBy("host").orderBy("seq")
+    p2 = (
+        p1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col("budget"))
+        .drop("_r1", "_r2", "budget", "crawl_delay")
+    )
+
+    if cfg.max_wave_size is not None:
+        scheduled = p2.orderBy("seq").limit(cfg.max_wave_size)
+    else:
+        scheduled = p2
+
+    deferred = pending.join(scheduled.select("seq"), "seq", "left_anti")
+    return scheduled, deferred

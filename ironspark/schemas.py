@@ -70,12 +70,14 @@ ROBOTS_SCHEMA = StructType(
     ]
 )
 
-# -- parse output: a union of outlink rows and item rows ----------------------
-# kind: "request" | "item"  (reference SpiderResult enum,
-# src/spider/spider.rs:37-45; routing src/spider/manager.rs:283-307)
+# -- parse output: a union of outlink rows, item rows, and stat rows ---------
+# kind: "request" | "item" | "stat"  (reference SpiderResult enum,
+# src/spider/spider.rs:37-45; routing src/spider/manager.rs:283-307;
+# "stat" rows carry per-partition parse lineage: number = rows consumed)
 PARSE_OUT_SCHEMA = StructType(
     [
         StructField("kind", StringType()),
+        StructField("partition_id", IntegerType()),
         StructField("spider_id", LongType()),
         StructField("parent_seq", LongType()),
         StructField("link_index", IntegerType()),

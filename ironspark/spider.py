@@ -14,7 +14,13 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from ironspark.extract import parse_response
+from ironspark.extract import (
+    article_text_of,
+    decode_strict,
+    harvest_links,
+    parse_article_html,
+    parse_response,
+)
 
 
 @dataclass
@@ -88,4 +94,55 @@ class ArticleSpider(Spider):
             for i, link in enumerate(links):
                 emit("request", spider_id, seq, link_index=i, out_url=link,
                      src_url=url)
+        return pd.DataFrame(out)
+
+
+class LinkSpider(Spider):
+    """Generic web-graph spider: extract article item + follow ALL
+    <a href> outlinks (the scale-path workload; SURVEY.md §2.4 P6
+    "general link extraction = href harvest → explode")."""
+
+    ITEM_TYPE = "page"
+
+    def __init__(self, name: str = "link_spider", seeds: list | None = None):
+        super().__init__(name=name, seeds=seeds or [])
+
+    def parse_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {
+            "kind": [], "spider_id": [], "parent_seq": [], "link_index": [],
+            "out_url": [], "item_type": [], "title": [], "author": [],
+            "number": [], "src_url": [], "text": [],
+        }
+        for url, spider_id, seq, body in zip(
+            pdf["url"], pdf["spider_id"], pdf["seq"], pdf["body"]
+        ):
+            html = decode_strict(body)
+            if html is None:
+                continue
+            parsed = parse_article_html(html)
+            if parsed is not None:
+                title, author = parsed
+                out["kind"].append("item")
+                out["spider_id"].append(spider_id)
+                out["parent_seq"].append(seq)
+                out["link_index"].append(None)
+                out["out_url"].append(None)
+                out["item_type"].append(self.ITEM_TYPE)
+                out["title"].append(title)
+                out["author"].append(author)
+                out["number"].append(None)
+                out["src_url"].append(url)
+                out["text"].append(article_text_of(html))
+            for i, link in enumerate(harvest_links(html, url)):
+                out["kind"].append("request")
+                out["spider_id"].append(spider_id)
+                out["parent_seq"].append(seq)
+                out["link_index"].append(i)
+                out["out_url"].append(link)
+                out["item_type"].append(None)
+                out["title"].append(None)
+                out["author"].append(None)
+                out["number"].append(None)
+                out["src_url"].append(url)
+                out["text"].append(None)
         return pd.DataFrame(out)
