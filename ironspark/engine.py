@@ -196,6 +196,7 @@ class CrawlEngine:
         run_dir = run_dir or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="ironspark_")
         io = TableIO(self.spark, run_dir)
         stats = CrawlStats(run_dir=run_dir)
+        self._metrics_buf: list[dict] = []
         t_start = time.monotonic()
 
         if resume:
@@ -205,6 +206,10 @@ class CrawlEngine:
             wave = man["next_wave"]
             next_seq = man["next_seq"]
             stats.deduped = man.get("deduped", 0)
+            if os.path.isdir(io.path("metrics")):
+                self._metrics_buf = [
+                    r.asDict() for r in io.read("metrics").collect()
+                ]
             if cfg.seen_backend == "bloom" and cfg.dedup:
                 self._bloom = build_bloom(
                     io.read("seen"), "url_canon", cfg.bloom_capacity, cfg.bloom_fpp
@@ -224,18 +229,25 @@ class CrawlEngine:
             front0 = robots_disallow_filter(front0, self.robots if cfg.respect_robots else None)
             io.write(front0, "frontier", 0)
             front0 = io.read("frontier", 0)
-            io.write(front0.select("url_canon").distinct(), "seen")
+            # seen is APPEND-ONLY: each wave dir holds only that wave's
+            # new urls, disjoint by construction (anti-join before
+            # enqueue) — reading it is a plain multi-dir scan, no
+            # union/distinct job ever runs over the full set.
+            io.write(front0.select("url_canon"), "seen", 0)
             next_seq = (front0.agg(F.max("seq")).first()[0] or 0)
             wave = 0
             io.commit({"next_wave": 0, "next_seq": int(next_seq), "deduped": 0})
             if cfg.seen_backend == "bloom" and cfg.dedup:
                 self._bloom_add(front0)
 
+        pending_count = None  # unknown -> probe once
         while wave < cfg.max_waves:
             pending = io.read("frontier", wave)
-            if pending.limit(1).count() == 0:  # idle shutdown (monitor.rs:62-72)
+            if pending_count is None:
+                pending_count = pending.count()
+            if pending_count == 0:  # idle shutdown (monitor.rs:62-72)
                 break
-            seen = io.read("seen")
+            seen = io.read_all_waves("seen")
 
             # schedule (F3/F7): politeness window-rank + global cap
             scheduled, deferred = select_wave(
@@ -243,38 +255,26 @@ class CrawlEngine:
             )
             for hook in self.request_hooks:
                 scheduled = hook(scheduled)
-            scheduled = scheduled.withColumn("partition_id", F.spark_partition_id())
-            io.write(scheduled, "_scheduled")
-            scheduled = io.read("_scheduled")
-            n_sched = scheduled.count()
-            stats.scheduled += n_sched
+            scheduled = scheduled.withColumn(
+                "partition_id", F.spark_partition_id()
+            ).persist()
             io.write(
-                scheduled.select("seq", "wave", "url_canon").withColumn(
-                    "wave", F.lit(wave)
-                ),
+                scheduled.select("seq", "url_canon").withColumn("wave", F.lit(wave)),
                 "order",
                 wave,
             )
 
-            # fetch (S3/D1-D5)
+            # fetch (S3/D1-D5) — transient stages stay cached, not written;
+            # resume granularity is the wave, recompute is deterministic
             t0 = time.monotonic()
             responses = fetch_from_corpus(scheduled, self.pages)
             for hook in self.response_hooks:
                 responses = hook(responses)
-            io.write(responses, "_responses")
-            responses = io.read("_responses")
-            t_fetch_ms = (time.monotonic() - t0) * 1000
-
-            accepted, retry, exhausted = split_accepted(responses, cfg)
-            n_exhausted = exhausted.count()
-            stats.exhausted += n_exhausted
+            responses = responses.persist()
+            accepted, retry, _exhausted = split_accepted(responses, cfg)
 
             # parse (P1-P9)
-            t1 = time.monotonic()
-            parse_out = parse_responses(accepted, self.spiders)
-            io.write(parse_out, "_parse_out")
-            parse_out = io.read("_parse_out")
-            t_parse_ms = (time.monotonic() - t1) * 1000
+            parse_out = parse_responses(accepted, self.spiders).persist()
 
             # items -> pipelines -> sink (I1-I5, S4)
             items = (
@@ -288,7 +288,7 @@ class CrawlEngine:
             if self.pipelines is not None:
                 items, _unrouted = self.pipelines.process(items)
             io.write(items, "items", wave)
-            stats.items += io.read("items", wave).count()
+            t_fp_ms = (time.monotonic() - t0) * 1000  # fetch+parse+items wall
 
             # outlinks -> canonicalize -> dedup -> seq -> frontier append
             outlinks = parse_out.filter(F.col("kind") == "request").select(
@@ -298,56 +298,54 @@ class CrawlEngine:
             candidates = robots_disallow_filter(
                 candidates, self.robots if cfg.respect_robots else None
             )
-            n_candidates = candidates.count()
             if cfg.dedup:
-                new_rows = self._filter_new(candidates, seen)
-            else:
-                new_rows = candidates
-            new_front = enqueue_outlinks(new_rows, next_seq, wave + 1)
-            retry_front = retry.select(*_FRONTIER_COLS)
+                candidates = self._filter_new(candidates, seen)
+            new_front, n_new = enqueue_outlinks(candidates, next_seq, wave + 1)
             frontier_next = (
                 deferred.select(*_FRONTIER_COLS)
-                .unionByName(retry_front)
+                .unionByName(retry.select(*_FRONTIER_COLS))
                 .unionByName(new_front)
             )
             io.write(frontier_next, "frontier", wave + 1)
-            n_new = io.read("frontier", wave + 1).filter(
-                F.col("wave") == wave + 1
-            ).count()
             next_seq += n_new
-            n_dedup = n_candidates - n_new
-            stats.deduped += max(n_dedup, 0)
-            stats.outlinks += n_candidates
-
             if cfg.dedup:
-                new_seen = seen.unionByName(
-                    io.read("frontier", wave + 1)
-                    .filter(F.col("wave") == wave + 1)
-                    .select("url_canon")
-                ).distinct()
-                io.write(new_seen, "_seen_next")
-                # swap: parquet dirs can't be overwritten while being read
-                shutil.rmtree(io.path("seen"), ignore_errors=True)
-                os.rename(io.path("_seen_next"), io.path("seen"))
-                self._bloom_add(io.read("frontier", wave + 1).filter(F.col("wave") == wave + 1))
+                new_seen = io.read("frontier", wave + 1).filter(
+                    F.col("wave") == wave + 1
+                )
+                io.write(new_seen.select("url_canon"), "seen", wave + 1)
+                self._bloom_add(new_seen)
 
+            # metrics: ONE aggregation pass yields the wave's counters;
+            # rows are buffered driver-side (they are tiny — one per
+            # partition) and flushed at checkpoint commits
             m = wave_metrics(
-                wave,
-                responses,
-                parse_out,
-                max(n_dedup, 0),
-                t_fetch_ms,
-                t_parse_ms,
-                cfg.max_retry_times,
+                wave, responses, parse_out, 0, t_fp_ms, 0.0, cfg.max_retry_times
             )
-            io.write(m, "metrics", wave)
-            fetched = responses.filter(F.col("resp_status") < 400).count()
-            stats.fetched += fetched
-            stats.failed += n_sched - fetched
+            mrows = [r.asDict() for r in m.collect()]
+            n_sched = sum(r["scheduled"] for r in mrows)
+            n_fetched = sum(r["fetched"] for r in mrows)
+            n_failed = sum(r["failed"] for r in mrows)
+            n_retried = sum(r["retried"] for r in mrows)
+            n_items = sum(r["items"] for r in mrows)
+            n_outlinks = sum(r["outlinks"] for r in mrows)
+            n_dedup = max(n_outlinks - n_new, 0)
+            for r in mrows:
+                if r["partition_id"] == -1:
+                    r["deduped"] = n_dedup
+            self._metrics_buf.extend(mrows)
+            stats.scheduled += n_sched
+            stats.fetched += n_fetched
+            stats.failed += n_failed
+            stats.items += n_items
+            stats.outlinks += n_outlinks
+            stats.deduped += n_dedup
+            stats.exhausted += n_failed - n_retried
+            pending_count = pending_count - n_sched + n_retried + n_new
 
             wave += 1
             stats.waves = wave
             if wave % cfg.checkpoint_every == 0:
+                self._flush_metrics(io)
                 io.commit(
                     {
                         "next_wave": wave,
@@ -355,10 +353,13 @@ class CrawlEngine:
                         "deduped": int(stats.deduped),
                     }
                 )
+            for df in (scheduled, responses, parse_out):
+                df.unpersist()
             self.spark.catalog.clearCache()
 
         for sp in self.spiders.values():
             sp.close()  # reference close hook (spider.rs:51-53)
+        self._flush_metrics(io)
         io.commit(
             {
                 "next_wave": wave,
@@ -370,6 +371,18 @@ class CrawlEngine:
         stats.wall_s = time.monotonic() - t_start
         return stats
 
+    def _flush_metrics(self, io: TableIO) -> None:
+        """Write all buffered (wave, partition) metric rows as one table."""
+        if not self._metrics_buf:
+            return
+        import pandas as pd
+
+        from ironspark.schemas import METRICS_SCHEMA
+
+        pdf = pd.DataFrame(self._metrics_buf)[[f.name for f in METRICS_SCHEMA.fields]]
+        df = self.spark.createDataFrame(pdf, METRICS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(io.path("metrics"))
+
     # -- result accessors ------------------------------------------------------
 
     def items_df(self, run_dir: str) -> DataFrame | None:
@@ -379,7 +392,10 @@ class CrawlEngine:
         return TableIO(self.spark, run_dir).read_all_waves("order")
 
     def metrics_df(self, run_dir: str) -> DataFrame | None:
-        return TableIO(self.spark, run_dir).read_all_waves("metrics")
+        io = TableIO(self.spark, run_dir)
+        if not os.path.isdir(io.path("metrics")):
+            return None
+        return io.read("metrics")
 
     def seen_df(self, run_dir: str) -> DataFrame:
         return TableIO(self.spark, run_dir).read("seen")

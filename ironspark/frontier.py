@@ -28,8 +28,11 @@ _FRONTIER_COLS = [
 
 def with_global_seq(
     df: DataFrame, order_cols: list[str], base_seq: int = 0, out: str = "seq"
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Dense global 1-based sequence by order_cols, offset by base_seq.
+
+    Returns (df_with_seq, total_rows) — the total falls out of the
+    offset computation for free (callers use it as the enqueue count).
 
     order_cols must be a unique total order. Three parallel steps:
     range-repartition by the order (distributed sort), per-partition
@@ -56,7 +59,7 @@ def with_global_seq(
         .withColumn(out, (F.lit(base_seq) + off_expr + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn")
     )
-    return out_df
+    return out_df, acc
 
 
 def _first_per_url(f: DataFrame) -> DataFrame:
@@ -92,7 +95,7 @@ def seeds_to_frontier(seeds: DataFrame, dedup: bool = True) -> DataFrame:
     preserves.
     """
     f = with_canonical(seeds, "url").filter(F.col("url_canon").isNotNull())
-    f = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], 0)
+    f, _ = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], 0)
     if dedup:
         f = _first_per_url(f)
     return _finish_frontier(f, wave=0)
@@ -121,8 +124,10 @@ def canonicalize_outlinks(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
     )
 
 
-def enqueue_outlinks(candidates: DataFrame, base_seq: int, wave: int) -> DataFrame:
-    """Canonicalized (and seen-filtered) candidates -> pending frontier
-    rows with seq continuing the global FIFO."""
-    f = with_global_seq(candidates, ["parent_seq", "link_index"], base_seq)
-    return _finish_frontier(f.drop("parent_seq", "link_index"), wave=wave)
+def enqueue_outlinks(
+    candidates: DataFrame, base_seq: int, wave: int
+) -> tuple[DataFrame, int]:
+    """Canonicalized (and seen-filtered) candidates -> (pending frontier
+    rows with seq continuing the global FIFO, row count)."""
+    f, n = with_global_seq(candidates, ["parent_seq", "link_index"], base_seq)
+    return _finish_frontier(f.drop("parent_seq", "link_index"), wave=wave), n
