@@ -43,7 +43,7 @@ from ironspark.parse import parse_responses
 from ironspark.pipeline import PipelineManager
 from ironspark.politeness import robots_disallow_filter, select_wave
 from ironspark.schemas import SEEDS_SCHEMA
-from ironspark.seen import BloomFilter, build_bloom
+from ironspark.seen import BloomFilter, bloom_maybe_udf, build_bloom
 from ironspark.spider import Spider
 
 _FRONTIER_COLS = [
@@ -152,20 +152,7 @@ class CrawlEngine:
     def _filter_new(self, candidates: DataFrame, seen: DataFrame) -> DataFrame:
         """Exact anti-join, optionally pruned by the incremental Bloom."""
         if self.cfg.seen_backend == "bloom" and self._bloom is not None:
-            bcast = self.spark.sparkContext.broadcast(
-                (self._bloom.m, self._bloom.k, self._bloom.bits.tobytes())
-            )
-            import numpy as np
-            import pandas as pd
-
-            @F.pandas_udf("boolean")
-            def maybe_seen(urls: pd.Series) -> pd.Series:
-                m, k, raw = bcast.value
-                bf = BloomFilter(2, 0.5)
-                bf.m, bf.k = m, k
-                bf.bits = np.frombuffer(raw, dtype=np.uint64)
-                return pd.Series(bf.contains_series(urls))
-
+            maybe_seen = bloom_maybe_udf(self.spark, self._bloom)
             tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_canon")))
             definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
             confirm = (

@@ -107,6 +107,20 @@ def build_bloom(df: DataFrame, url_col: str, capacity: int, fpp: float) -> Bloom
     return proto
 
 
+def bloom_maybe_udf(spark, bloom: BloomFilter):
+    """Broadcast the bitset; return a vectorized membership-test UDF."""
+    bcast = spark.sparkContext.broadcast((bloom.m, bloom.k, bloom.bits.tobytes()))
+
+    def maybe_seen(urls: pd.Series) -> pd.Series:
+        m, k, raw = bcast.value
+        bf = BloomFilter(2, 0.5)
+        bf.m, bf.k = m, k
+        bf.bits = np.frombuffer(raw, dtype=np.uint64)
+        return pd.Series(bf.contains_series(urls))
+
+    return F.pandas_udf(maybe_seen, "boolean")
+
+
 class ExactSeen:
     """Correctness-oracle backend: plain anti-join against the seen table."""
 
@@ -137,19 +151,7 @@ class BloomSeen:
         self._bloom = build_bloom(self.df, "url_canon", capacity, fpp)
 
     def filter_new(self, candidates: DataFrame) -> DataFrame:
-        spark = candidates.sparkSession
-        bcast = spark.sparkContext.broadcast(
-            (self._bloom.m, self._bloom.k, self._bloom.bits.tobytes())
-        )
-
-        @F.pandas_udf("boolean")
-        def maybe_seen(urls: pd.Series) -> pd.Series:
-            m, k, raw = bcast.value
-            bf = BloomFilter(2, 0.5)
-            bf.m, bf.k = m, k
-            bf.bits = np.frombuffer(raw, dtype=np.uint64)
-            return pd.Series(bf.contains_series(urls))
-
+        maybe_seen = bloom_maybe_udf(candidates.sparkSession, self._bloom)
         tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_canon")))
         definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
         confirm = (
