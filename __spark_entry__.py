@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the full crawl-engine loop on a deterministic
+                 synthetic page corpus (chains + web graph), returning the
+                 extracted-items DataFrame.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data pipeline ops), each (spark, sf_dir) -> DF.
+oracle_sql()   — matching ANSI SQL for DuckDB over the same tables.
+                 Column names/aliases match the Spark results exactly.
+
+Hash arithmetic shared by both sides is md5-hex based (engine-portable):
+Spark  CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)
+DuckDB CAST(concat('0x',substr(md5(x),1,15)) AS BIGINT)
 """
 
 from __future__ import annotations
@@ -12,27 +18,718 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full crawl: seeds -> politeness schedule -> fetch(corpus join) ->
+    Arrow parse/extract -> dedup -> frontier loop; returns items."""
+    import tempfile
+
+    from ironspark.config import EngineConfig
+    from ironspark.corpus import (
+        article_seeds,
+        build_chain_corpus,
+        build_graph_corpus_pdf,
+        graph_seeds,
+    )
+    from ironspark.engine import CrawlEngine
+    from ironspark.schemas import PAGES_SCHEMA, SEEDS_SCHEMA
+    from ironspark.spider import ArticleSpider, LinkSpider
+
+    import pandas as pd
+
+    chain_pdf = build_chain_corpus(2, 4)
+    graph_pdf = build_graph_corpus_pdf(300, 8)
+    pages = spark.createDataFrame(
+        pd.concat([chain_pdf, graph_pdf], ignore_index=True), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.concat(
+            [article_seeds(2, 4, dup=2), graph_seeds(300, 5, 8, spider_id=10)],
+            ignore_index=True,
+        ),
+        SEEDS_SCHEMA,
+    )
+    spiders = {1: ArticleSpider(), 2: ArticleSpider(), 10: LinkSpider()}
+    cfg = EngineConfig(
+        dedup=True,
+        seen_backend="bloom",
+        max_waves=4,
+        respect_robots=False,
+        wave_seconds=600.0,
+        default_crawl_delay=0.5,
+    )
+    eng = CrawlEngine(spark, pages, spiders, cfg)
+    stats = eng.run(seeds=seeds, run_dir=tempfile.mkdtemp(prefix="ironspark_entry_"))
+    return eng.items_df(stats.run_dir)
+
+
+# ---------------------------------------------------------------------------
+# operator queries (SURVEY.md §2 mapping per FIXTURES.md §7)
+# ---------------------------------------------------------------------------
+
+def _m1_counter_sums(spark, sf):
+    # M1 counter sums (src/downloader/stat.rs:174-216)
+    return _t(spark, sf, "events").agg(
+        F.count("*").alias("n_requests"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _m2_status_histogram(spark, sf):
+    # M2 status-code histogram (src/downloader/stat.rs:124,203-207)
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def _m3_error_histogram(spark, sf):
+    # M3 exception-type histogram (src/downloader/stat.rs:127,218-226)
+    return _t(spark, sf, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def _m4_minmax(spark, sf):
+    # M4 min/max via CAS loop (src/downloader/stat.rs:283-311)
+    return _t(spark, sf, "events").agg(
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def _m5_avg(spark, sf):
+    # M5 running average (src/downloader/stat.rs:352-364)
+    return _t(spark, sf, "events").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def _m6_peak_gauge(spark, sf):
+    # M6 peak concurrent gauge (src/downloader/stat.rs:268-281)
+    per_user = _t(spark, sf, "events").groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_user.agg(F.max("cnt").alias("peak"))
+
+
+def _f2_fifo_order_limit(spark, sf):
+    # F2 FIFO dequeue order (src/scheduler/scheduler.rs:34-76)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+def _f3_politeness_topk(spark, sf):
+    # F3 window-rank priority queue (downloader dequeue-with-budget,
+    # src/downloader/downloader.rs:99-137) — top-3 per host(source)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "rk")
+    )
+
+
+def _f5_backpressure_cap(spark, sf):
+    # F5 max-waiting cap = 2*concurrent_limit = 64 (downloader.rs:23,64)
+    return (
+        _t(spark, sf, "events")
+        .orderBy("ts", "event_id")
+        .limit(64)
+        .select("event_id")
+    )
+
+
+def _f7_rate_budget(spark, sf):
+    # F7 per-host rate budget (governor quota, downloader.rs:45-48):
+    # budget(host) = floor(wave_seconds / crawl_delay)
+    per_host = _t(spark, sf, "documents").groupBy("source").agg(
+        F.count("*").alias("pending")
+    )
+    budget = F.floor(60.0 / (1.0 + F.length("source") % 5)).cast("long")
+    return per_host.select(
+        "source",
+        "pending",
+        budget.alias("budget"),
+        F.least(F.col("pending"), budget).alias("scheduled"),
+    )
+
+
+def _d1_retry_union(spark, sf):
+    # D1 retry with backoff as a union (downloader.rs:162-223)
+    o = _t(spark, sf, "orders")
+    pending = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit(0).alias("attempt")
+    )
+    retried = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", (F.lit(0) + 1).alias("attempt")
+    )
+    return pending.unionByName(retried)
+
+
+def _d2_status_filter(spark, sf):
+    # D2 acceptance filter: <400 OR in allow set (downloader.rs:236-247)
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 10) | F.col("l_returnflag").isin("R")
+    ).select("l_orderkey", "l_linenumber")
+
+
+def _d3_error_classify(spark, sf):
+    # D3 error classification (downloader.rs:266-286)
+    e = _t(spark, sf, "events")
+    cls = (
+        F.when(F.col("value") < 10, F.lit("timeout"))
+        .when(F.col("value") < 50, F.lit("connect"))
+        .otherwise(F.lit("unknown"))
+    )
+    return e.groupBy(cls.alias("error_class")).agg(F.count("*").alias("cnt"))
+
+
+def _d4_wire_size(spark, sf):
+    # D4 request wire-size arithmetic (src/request.rs:18-47)
+    o = _t(spark, sf, "orders")
+    size = (
+        F.length(F.lit("GET"))
+        + 1
+        + F.length(F.concat(F.lit("/order/"), F.col("o_orderkey").cast("string")))
+        + 1
+        + 10
+    )
+    return o.agg(F.sum(size).cast("long").alias("total_bytes"))
+
+
+def _p5_regexp_extract(spark, sf):
+    # P5 first \d+ extraction (basic_spider.rs:32-36)
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_extract(F.col("text"), r"\d+", 0).alias("first_num")
+    )
+
+
+def _p7_antijoin_dedup(spark, sf):
+    # P7 URL-seen anti-join dedup (basic_spider.rs:29,75-89)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _l1_registration(spark, sf):
+    # L1 monotonic spider-id assignment (src/spider/manager.rs:32,45-53)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_name")
+    return _t(spark, sf, "nation").select(
+        "n_name", F.row_number().over(w).alias("spider_id")
+    )
+
+
+def _x1_exchange_join(spark, sf):
+    # X1/X2 stage boundaries exercised as a 4-table join + agg
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q1_lineitem_agg(spark, sf):
+    # the classic pricing-summary aggregation (hash agg + filters)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _skew2p_salted_agg(spark, sf):
+    # the north rule's salting + two-phase aggregation, verified equal
+    # to the plain group-by (oracle): phase 1 aggregates (key, salt),
+    # phase 2 merges partials per key
+    li = _t(spark, sf, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    p1 = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("c"), F.sum("l_quantity").alias("q")
+    )
+    return p1.groupBy("l_returnflag").agg(
+        F.sum("c").alias("cnt"), F.round(F.sum("q"), 2).alias("sum_qty")
+    )
+
+
+# -- training-data pipeline ops ------------------------------------------------
+
+def _t_exact_dedup(spark, sf):
+    from ironspark.textops import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _t_minhash_sig(spark, sf):
+    from ironspark.textops import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf, "documents"), bands=4)
+
+
+def _t_lsh_pairs(spark, sf):
+    from ironspark.textops import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf, "documents"), bands=4)
+
+
+def _t_jaccard_pairs(spark, sf):
+    from ironspark.textops import jaccard_pairs, lsh_candidate_pairs
+
+    docs = _t(spark, sf, "documents")
+    return jaccard_pairs(docs, lsh_candidate_pairs(docs, bands=4))
+
+
+def _t_simhash(spark, sf):
+    from ironspark.textops import simhash
+
+    return simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def _t_langid(spark, sf):
+    from ironspark.textops import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+def _t_token_count(spark, sf):
+    from ironspark.textops import token_count
+
+    return token_count(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def _t_quality(spark, sf):
+    from ironspark.textops import quality_score
+
+    return quality_score(_t(spark, sf, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "punct_ratio", "stop_ratio"
+    )
+
+
+def _t_fingerprint(spark, sf):
+    from ironspark.textops import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+# -- similarity search ----------------------------------------------------------
+
+def _query_vec(spark, sf):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _a_cosine_topk(spark, sf):
+    from ironspark.ann import cosine_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_topk(emb, _query_vec(spark, sf), k=10)
+
+
+def _a_knn_join(spark, sf):
+    from ironspark.ann import knn_join_bruteforce
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return knn_join_bruteforce(emb, queries, k=5)
+
+
+def _a_ivf_assign(spark, sf):
+    from ironspark.ann import ivf_assign
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_assign(emb, n_centroids=8)
+
+
+def _a_ivf_topk(spark, sf):
+    from ironspark.ann import ivf_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_topk(emb, _query_vec(spark, sf), k=10, n_centroids=8, nprobe=2)
+
+
+# -- multimodal plumbing ---------------------------------------------------------
+
+def _mm_metadata(spark, sf):
+    from ironspark.multimodal import documents_as_media, extract_metadata
+
+    return extract_metadata(documents_as_media(_t(spark, sf, "documents")))
+
+
+def _mm_frame_sample(spark, sf):
+    from ironspark.multimodal import documents_as_media, frame_sample
+
+    return frame_sample(documents_as_media(_t(spark, sf, "documents")), 100)
+
+
+def _mm_feature(spark, sf):
+    from ironspark.multimodal import documents_as_media, fake_feature_extract
+
+    feats = fake_feature_extract(documents_as_media(_t(spark, sf, "documents")), dim=8)
+    return feats.select(
+        F.col("media_id"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 8), 6).alias("f7"),
+    )
+
+
+# -- URL canonicalization (P8; pandas UDF — oracle restricted to fixed shapes) --
+
+def _p8_canonicalize(spark, sf):
+    from ironspark.url import canonicalize_udf
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTP://"),
+        F.upper("source"),
+        F.lit(".Example.COM:80/A/./"),
+        F.col("doc_id").cast("string"),
+        F.lit("?z=1&a=2#frag"),
+    )
+    return docs.select(
+        "doc_id", canonicalize_udf(raw).alias("url_canon")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "m1_counter_sums": _m1_counter_sums,
+        "m2_status_histogram": _m2_status_histogram,
+        "m3_error_histogram": _m3_error_histogram,
+        "m4_minmax": _m4_minmax,
+        "m5_avg": _m5_avg,
+        "m6_peak_gauge": _m6_peak_gauge,
+        "f2_fifo_order_limit": _f2_fifo_order_limit,
+        "f3_politeness_topk": _f3_politeness_topk,
+        "f5_backpressure_cap": _f5_backpressure_cap,
+        "f7_rate_budget": _f7_rate_budget,
+        "d1_retry_union": _d1_retry_union,
+        "d2_status_filter": _d2_status_filter,
+        "d3_error_classify": _d3_error_classify,
+        "d4_wire_size": _d4_wire_size,
+        "p5_regexp_extract": _p5_regexp_extract,
+        "p7_antijoin_dedup": _p7_antijoin_dedup,
+        "p8_canonicalize": _p8_canonicalize,
+        "l1_registration": _l1_registration,
+        "x1_exchange_join": _x1_exchange_join,
+        "q1_lineitem_agg": _q1_lineitem_agg,
+        "skew2p_salted_agg": _skew2p_salted_agg,
+        "t_exact_dedup": _t_exact_dedup,
+        "t_minhash_sig": _t_minhash_sig,
+        "t_lsh_pairs": _t_lsh_pairs,
+        "t_jaccard_pairs": _t_jaccard_pairs,
+        "t_simhash": _t_simhash,
+        "t_langid": _t_langid,
+        "t_token_count": _t_token_count,
+        "t_quality": _t_quality,
+        "t_fingerprint": _t_fingerprint,
+        "a_cosine_topk": _a_cosine_topk,
+        "a_knn_join": _a_knn_join,
+        "a_ivf_assign": _a_ivf_assign,
+        "a_ivf_topk": _a_ivf_topk,
+        "mm_metadata": _mm_metadata,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_feature": _mm_feature,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MD5NUM_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_WORDS_CTE = (
+    "words AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
+    "FROM documents), w AS (SELECT doc_id, word FROM words WHERE word <> '')"
+)
+
+_SIG_CTE = (
+    _WORDS_CTE
+    + ", wd AS (SELECT DISTINCT doc_id, word FROM w)"
+    + ", bands AS (SELECT unnest(generate_series(0, 3)) AS band)"
+    + ", hashes AS (SELECT doc_id, band, "
+    + _MD5NUM_DUCK.format(x="concat(word, '#', band)")
+    + " AS h FROM wd CROSS JOIN bands)"
+    + ", sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM hashes GROUP BY doc_id, band)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    simhash_bits = 16
+    sim_sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(simhash_bits)
+    )
+    sim_pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(simhash_bits)
+    )
+    langs = ["de", "en", "es", "fr"]
+    stop_lists = {
+        "en": "'the','and','of','to','in','is','that','it','for','was'",
+        "de": "'der','die','das','und','ist','nicht','ein','mit','auf','zu'",
+        "fr": "'le','la','les','et','est','pas','des','une','dans','que'",
+        "es": "'el','la','los','y','es','no','un','con','por','para'",
+    }
+    lang_sums = ", ".join(
+        f"SUM(CASE WHEN word IN ({stop_lists[lg]}) THEN 1 ELSE 0 END) AS n_{lg}"
+        for lg in langs
+    )
+    lang_best = f"GREATEST({', '.join('n_' + lg for lg in langs)})"
+    lang_guess = "CASE WHEN " + lang_best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN n_{lg} = {lang_best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+
+    return {
+        "m1_counter_sums": (
+            "SELECT COUNT(*) AS n_requests, ROUND(SUM(value), 2) AS total_value FROM events"
+        ),
+        "m2_status_histogram": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+        ),
+        "m3_error_histogram": (
+            "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"
+        ),
+        "m4_minmax": (
+            "SELECT ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value FROM events"
+        ),
+        "m5_avg": "SELECT ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n FROM events",
+        "m6_peak_gauge": (
+            "SELECT MAX(cnt) AS peak FROM "
+            "(SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)"
+        ),
+        "f2_fifo_order_limit": (
+            "SELECT o_orderkey, o_orderdate FROM orders "
+            "ORDER BY o_orderdate, o_orderkey LIMIT 100"
+        ),
+        "f3_politeness_topk": (
+            "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk "
+            "FROM documents) WHERE rk <= 3"
+        ),
+        "f5_backpressure_cap": (
+            "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 64"
+        ),
+        "f7_rate_budget": (
+            "SELECT source, COUNT(*) AS pending, "
+            "CAST(FLOOR(60.0 / (1.0 + LENGTH(source) % 5)) AS BIGINT) AS budget, "
+            "LEAST(COUNT(*), CAST(FLOOR(60.0 / (1.0 + LENGTH(source) % 5)) AS BIGINT)) AS scheduled "
+            "FROM documents GROUP BY source"
+        ),
+        "d1_retry_union": (
+            "SELECT o_orderkey, 0 AS attempt FROM orders WHERE o_orderstatus = 'O' "
+            "UNION ALL "
+            "SELECT o_orderkey, 1 AS attempt FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "d2_status_filter": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE l_quantity < 10 OR l_returnflag IN ('R')"
+        ),
+        "d3_error_classify": (
+            "SELECT CASE WHEN value < 10 THEN 'timeout' WHEN value < 50 THEN 'connect' "
+            "ELSE 'unknown' END AS error_class, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1"
+        ),
+        "d4_wire_size": (
+            "SELECT CAST(SUM(LENGTH('GET') + 1 + "
+            "LENGTH(concat('/order/', CAST(o_orderkey AS VARCHAR))) + 1 + 10) AS BIGINT) "
+            "AS total_bytes FROM orders"
+        ),
+        "p5_regexp_extract": (
+            "SELECT doc_id, regexp_extract(text, '\\d+') AS first_num FROM documents"
+        ),
+        "p7_antijoin_dedup": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "l1_registration": (
+            "SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS spider_id "
+            "FROM nation"
+        ),
+        "x1_exchange_join": (
+            "SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "q1_lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(AVG(l_quantity), 6) AS avg_qty, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2025-06-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "skew2p_salted_agg": (
+            "SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "t_exact_dedup": (
+            "SELECT MIN(doc_id) AS keep_doc_id, md5(text) AS text_hash, "
+            "COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "t_minhash_sig": (
+            "WITH " + _SIG_CTE + " SELECT doc_id, CAST(band AS INT) AS band, minhash FROM sig"
+        ),
+        "t_lsh_pairs": (
+            "WITH " + _SIG_CTE + " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM sig a JOIN sig b USING (band, minhash) WHERE a.doc_id < b.doc_id"
+        ),
+        "t_jaccard_pairs": (
+            "WITH " + _SIG_CTE + ", pairs AS ("
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM sig a JOIN sig b USING (band, minhash) WHERE a.doc_id < b.doc_id), "
+            "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
+            "JOIN wd wa ON wa.doc_id = p.doc_a JOIN wd wb ON wb.doc_id = p.doc_b "
+            "AND wb.word = wa.word GROUP BY p.doc_a, p.doc_b), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM wd GROUP BY doc_id) "
+            "SELECT i.doc_a, i.doc_b, "
+            "ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) AS jaccard "
+            "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "JOIN sizes sb ON sb.doc_id = i.doc_b"
+        ),
+        "t_simhash": (
+            "WITH " + _WORDS_CTE + ", h AS (SELECT doc_id, "
+            + _MD5NUM_DUCK.format(x="word")
+            + " AS h FROM w), s AS (SELECT doc_id, " + sim_sums + " FROM h GROUP BY doc_id) "
+            "SELECT doc_id, CAST(" + sim_pack + " AS BIGINT) AS simhash FROM s"
+        ),
+        "t_langid": (
+            "WITH " + _WORDS_CTE + ", s AS (SELECT doc_id, " + lang_sums
+            + " FROM w GROUP BY doc_id) SELECT doc_id, " + lang_guess
+            + " AS lang_guess FROM s"
+        ),
+        "t_token_count": (
+            "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "t_quality": (
+            "SELECT doc_id, "
+            "CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+            "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+            "ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+            "/ GREATEST(LENGTH(text), 1), 6) AS punct_ratio, "
+            "ROUND(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x IN ('the','and','of','to','in','is','that','it','for','was'))) "
+            "/ GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio "
+            "FROM documents"
+        ),
+        "t_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5, "
+            + _MD5NUM_DUCK.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+            + " AS fp_num FROM documents"
+        ),
+        "a_cosine_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim "
+            "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "a_knn_join": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id < 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank "
+            "FROM scored) WHERE rank <= 5"
+        ),
+        "a_ivf_assign": (
+            "WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec "
+            "FROM embeddings WHERE vec_id < 8), "
+            "scored AS (SELECT e.vec_id, c.centroid_id, "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) AS csim "
+            "FROM embeddings e CROSS JOIN c) "
+            "SELECT vec_id, centroid_id, csim AS sim_to_centroid FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rk "
+            "FROM scored) WHERE rk = 1"
+        ),
+        "a_ivf_topk": (
+            "WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec "
+            "FROM embeddings WHERE vec_id < 8), "
+            "assign AS (SELECT vec_id, centroid_id FROM ("
+            "SELECT e.vec_id, c.centroid_id, "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) AS csim, "
+            "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC, c.centroid_id) AS rk "
+            "FROM embeddings e CROSS JOIN c) WHERE rk = 1), "
+            "probe AS (SELECT centroid_id FROM ("
+            "SELECT centroid_id, ROUND(list_cosine_similarity(cvec, "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS qsim "
+            "FROM c) ORDER BY qsim DESC, centroid_id LIMIT 2) "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim "
+            "FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id "
+            "JOIN probe p ON p.centroid_id = a.centroid_id "
+            "ORDER BY sim DESC, e.vec_id LIMIT 10"
+        ),
+        "mm_metadata": (
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS digest FROM documents"
+        ),
+        "mm_frame_sample": (
+            "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb "
+            "FROM documents) "
+            "SELECT media_id, CAST(f AS INT) AS frame_idx, "
+            "CAST(LEAST(100, nb - f * 100) AS BIGINT) AS frame_bytes "
+            "FROM m, LATERAL unnest(generate_series(0, CAST(CEIL(nb / 100.0) AS INT) - 1)) AS t(f)"
+        ),
+        # p8_canonicalize, mm_feature: omitted -> driver rows-only check
+        # (pandas-UDF canonicalization / digest-derived fake features are
+        # not expressible as portable ANSI SQL)
+    }

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+cluster-pruned variant as the scale path. Dot products run JVM-side via
+``F.zip_with`` + ``F.aggregate`` (whole-stage codegen), not Python.
+
+Scale shape: brute force is a full scan per query — fine batched (many
+queries at once, one pass). IVF assigns vectors to the nearest of k
+centroids once (cross join vs a BROADCAST centroid table), then each
+query probes only its nearest centroid's partition: the scan shrinks
+k-fold at the cost of recall at cluster borders (nprobe>1 restores it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim_col(a, b, decimals: int = 6):
+    return F.round(
+        _dot(a, b) / (_norm(a) * _norm(b)), decimals
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to query_vec.
+
+    Deterministic tie-break: (sim DESC, vec_id ASC). Rounded to 6
+    decimals so results are engine-portable.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        "vec_id", cosine_sim_col(F.col("embedding"), q).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign each vector to its nearest 'centroid' (the vectors with
+    vec_id < n_centroids serve as deterministic centroids — a stand-in
+    for a k-means pass, which would be run offline at scale).
+    Returns (vec_id, centroid_id, sim_to_centroid)."""
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine_sim_col(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "centroid_id", F.col("csim").alias("sim_to_centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the nprobe nearest centroids' clusters only."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assign = ivf_assign(embeddings, n_centroids)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    probe = (
+        cents.withColumn("qsim", cosine_sim_col(F.col("cvec"), q))
+        .orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cluster = embeddings.join(assign, "vec_id").join(
+        F.broadcast(probe), "centroid_id"
+    )
+    scored = cluster.select(
+        "vec_id", cosine_sim_col(F.col("embedding"), q).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_join_bruteforce(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Batched exact kNN: every query row against the corpus in ONE
+    pass (query table broadcast). Returns (query_id, vec_id, sim, rank)."""
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        cosine_sim_col(F.col("embedding"), F.col("qvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

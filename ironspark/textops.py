@@ -1,0 +1,245 @@
+"""Large-scale text-pipeline operators over a documents table.
+
+The operations a web-scale training-data pipeline needs on top of the
+crawl engine: deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard), language ID, quality scoring, token counting, fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs — so the plans stay inside whole-stage codegen and the
+same logic is expressible as ANSI SQL for the DuckDB oracle. All hash
+arithmetic is md5-hex based (portable across engines), never
+``xxhash64`` (engine-specific).
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit numeric hash from the md5 hex prefix — portable to DuckDB as
+# CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)
+def _md5num(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_WS = r"\s+"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "con", "por", "para"],
+}
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text + the duplicate count.
+
+    Scale: a single hash-aggregate on md5(text) — map-side partial
+    aggregation, no sort; the 100 TB shape is groupBy over ~1e10 rows
+    with near-unique keys, which AQE coalesces fine.
+    """
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_doc_id", "text_hash", "dup_count")
+    )
+
+
+def _words(documents: DataFrame) -> DataFrame:
+    """(doc_id, word) distinct pairs; lowercased whitespace tokens."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word"),
+    ).filter(F.col("word") != "")
+
+
+def minhash_signatures(documents: DataFrame, bands: int = 4) -> DataFrame:
+    """MinHash signature per (doc, band) over word shingles.
+
+    shingle→minhash→band: hash_b(w) = md5num(word || '#' || b); the
+    band signature is MIN over the doc's words. Portable, deterministic.
+
+    Scale: explode + groupBy(doc_id) — shuffle on doc_id, combiner
+    does the min map-side. bands small (4-16); signature table is
+    bands× the doc count, tiny next to the corpus.
+    """
+    w = _words(documents).distinct()
+    bands_df = w.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
+    return (
+        w.crossJoin(F.broadcast(bands_df))
+        .withColumn(
+            "h", _md5num(F.concat_ws("#", F.col("word"), F.col("band")))
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing ANY (band, minhash) bucket become a
+    candidate near-dup pair (doc_a < doc_b).
+
+    Scale: the self-join runs on (band, minhash) buckets — skew appears
+    only if one bucket is huge (near-identical boilerplate); cap with a
+    bucket-size filter upstream in a real pipeline. Pair explosion is
+    quadratic per bucket, which is the standard LSH trade.
+    """
+    sig = minhash_signatures(documents, bands)
+    a = sig.select(
+        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_a")
+    )
+    b = sig.select(
+        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (LSH verify step)."""
+    w = _words(documents).distinct()
+    wa = w.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = w.select(F.col("doc_id").alias("doc_b"), "word")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over word hashes.
+
+    Uses the first ``bits`` bits of md5num(word). Pure column
+    arithmetic: explode → conditional sums per bit → bit packing.
+    Scale: one explode + one groupBy(doc_id); bit loop is compile-time
+    column fan-out, not row work.
+    """
+    w = _words(documents)  # term frequency counts (not distinct)
+    w = w.withColumn("h", _md5num("word"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return per_doc.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID by stopword hit counts (n-gram heuristic).
+
+    Counts distinct-position hits of each language's top stopwords;
+    guesses the argmax (ties broken by language code order, 'und' if no
+    hits). JVM-only: explode + isin + conditional aggregation.
+    """
+    w = _words(documents)
+    aggs = [
+        F.sum(F.when(F.col("word").isin(STOPWORDS[lang]), 1).otherwise(0)).alias(
+            f"n_{lang}"
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    scored = w.groupBy("doc_id").agg(*aggs)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in sorted(STOPWORDS)])
+    guess = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        guess = F.when(
+            (best > 0) & (F.col(f"n_{lang}") == best), F.lit(lang)
+        ).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (regex pieces).
+
+    bpe_est counts letter-runs, digit-runs and punctuation separately —
+    the standard cheap proxy for BPE token count.
+    """
+    toks = F.size(F.split(F.trim(F.col("text")), _WS))
+    pieces = F.size(
+        F.split(
+            F.regexp_replace(
+                F.col("text"), r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])", "$1"
+            ),
+            "",
+        )
+    ) - 1
+    return documents.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        pieces.cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    Mirrors the usual web-text quality gates (C4/Gopher-style) with
+    engine-portable arithmetic only.
+    """
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _WS))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    en_stop = STOPWORDS["en"]
+    words = F.split(F.lower(F.col("text")), _WS)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(en_stop)))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_word_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        F.when(n_tokens < 5, 0.0).otherwise(
+            (1.0 - punct_ratio) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        ),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: hash of whitespace-normalized lowercase text
+    (the rolling-hash dedup key, engine-portable form)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS, " "))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        _md5num(norm).alias("fp_num"),
+    )
