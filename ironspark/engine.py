@@ -32,10 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironspark.config import EngineConfig
-from ironspark.fetch import fetch_from_corpus, split_accepted
+from ironspark.fetch import fetch_from_corpus
 from ironspark.frontier import (
-    canonicalize_outlinks,
+    drain_seq_caches,
     enqueue_outlinks,
+    prepare_candidates,
     seeds_to_frontier,
 )
 from ironspark.metrics import wave_metrics
@@ -50,6 +51,22 @@ _FRONTIER_COLS = [
     "url_canon", "url", "host", "spider_id", "seq", "wave", "attempt",
     "method", "headers", "body", "meta", "status",
 ]
+
+_TRACE = os.environ.get("IRONSPARK_TRACE", "") not in ("", "0")
+
+
+class _Tracer:
+    """Phase wall-clock tracing (enable with IRONSPARK_TRACE=1)."""
+
+    def __init__(self, wave: int):
+        self.wave = wave
+        self.t = time.monotonic()
+
+    def mark(self, phase: str) -> None:
+        if _TRACE:
+            now = time.monotonic()
+            print(f"[trace] wave={self.wave} {phase}: {now - self.t:.2f}s", flush=True)
+            self.t = now
 
 
 @dataclass
@@ -140,6 +157,13 @@ class CrawlEngine:
         self.request_hooks: list[Callable[[DataFrame], DataFrame]] = []
         self.response_hooks: list[Callable[[DataFrame], DataFrame]] = []
         self._bloom: BloomFilter | None = None
+        # column-pruned corpus view; the scan carries only what the
+        # fetch join needs (url, html, warc_ts) — Catalyst would prune
+        # anyway, this makes it explicit and keeps text/lang out
+        self._pages_view = pages.select("url", "html", "warc_ts")
+
+    def _prepared_pages(self) -> DataFrame:
+        return self._pages_view
 
     def register_request_hook(self, fn: Callable[[DataFrame], DataFrame]) -> None:
         self.request_hooks.append(fn)
@@ -235,6 +259,7 @@ class CrawlEngine:
             if pending_count == 0:  # idle shutdown (monitor.rs:62-72)
                 break
             seen = io.read_all_waves("seen")
+            tr = _Tracer(wave)
 
             # schedule (F3/F7): politeness window-rank + global cap
             scheduled, deferred = select_wave(
@@ -242,26 +267,51 @@ class CrawlEngine:
             )
             for hook in self.request_hooks:
                 scheduled = hook(scheduled)
-            scheduled = scheduled.withColumn(
-                "partition_id", F.spark_partition_id()
-            ).persist()
+            # Re-balance after politeness: the window rank leaves the
+            # batch hash-partitioned by HOST, so a mega-domain (80% of
+            # URLs) lands in ONE partition and the whole fetch+parse
+            # stage inherits that skew (one straggler task does 80% of
+            # the work — measured). A cheap shuffle of the body-free
+            # scheduled rows by url_canon restores uniform parallelism
+            # for everything downstream.
+            nparts = max(self.spark.sparkContext.defaultParallelism, 1)
+            scheduled = (
+                scheduled.repartition(nparts, "url_canon")
+                .withColumn("partition_id", F.spark_partition_id())
+                .persist()
+            )
             io.write(
                 scheduled.select("seq", "url_canon").withColumn("wave", F.lit(wave)),
                 "order",
                 wave,
             )
+            tr.mark("schedule+order")
 
-            # fetch (S3/D1-D5) — transient stages stay cached, not written;
-            # resume granularity is the wave, recompute is deterministic
+            # fetch + parse (S3/D1-D5, P1-P9): the corpus join output
+            # (html bytes included) is consumed by EXACTLY ONE Arrow
+            # pass — acceptance, retry lineage, parsing, and outlink
+            # canonicalization all happen inside it (see parse.py).
+            # Nothing holding binary columns is ever persisted: the
+            # InMemoryRelation -> Arrow path measured ~10x slower than
+            # the live join.
             t0 = time.monotonic()
-            responses = fetch_from_corpus(scheduled, self.pages)
+            responses = fetch_from_corpus(scheduled, self._prepared_pages())
             for hook in self.response_hooks:
                 responses = hook(responses)
-            responses = responses.persist()
-            accepted, retry, _exhausted = split_accepted(responses, cfg)
+            parse_out = parse_responses(responses, self.spiders, cfg).persist()
 
-            # parse (P1-P9)
-            parse_out = parse_responses(accepted, self.spiders).persist()
+            # metrics first: the ONE aggregation pass materializes
+            # parse_out (the wave's heavy job) and yields every counter
+            # the rest of the wave needs. Rows are buffered driver-side
+            # (tiny — one per partition) and flushed at commits.
+            m = wave_metrics(wave, parse_out, 0, 0.0, 0.0)
+            mrows = [r.asDict() for r in m.collect()]
+            t_fp_ms = (time.monotonic() - t0) * 1000  # fetch+parse wall
+            n_sched = sum(r["scheduled"] for r in mrows)
+            n_failed = sum(r["failed"] for r in mrows)
+            n_retried = sum(r["retried"] for r in mrows)
+            n_outlinks = sum(r["outlinks"] for r in mrows)
+            tr.mark("fetch+parse+metrics")
 
             # items -> pipelines -> sink (I1-I5, S4)
             items = (
@@ -275,25 +325,50 @@ class CrawlEngine:
             if self.pipelines is not None:
                 items, _unrouted = self.pipelines.process(items)
             io.write(items, "items", wave)
-            t_fp_ms = (time.monotonic() - t0) * 1000  # fetch+parse+items wall
+            tr.mark("items")
 
-            # outlinks -> canonicalize -> dedup -> seq -> frontier append
-            outlinks = parse_out.filter(F.col("kind") == "request").select(
-                "spider_id", "parent_seq", "link_index", "out_url"
+            # outlinks (already canonicalized in-pass) -> self-dedup ->
+            # seen anti-join -> seq extension -> frontier append.
+            candidates = prepare_candidates(
+                parse_out.filter(F.col("kind") == "request").select(
+                    "spider_id", "parent_seq", "link_index", "out_url",
+                    "url_canon", "host",
+                ),
+                dedup=cfg.dedup,
             )
-            candidates = canonicalize_outlinks(outlinks, dedup=cfg.dedup)
             candidates = robots_disallow_filter(
                 candidates, self.robots if cfg.respect_robots else None
             )
             if cfg.dedup:
                 candidates = self._filter_new(candidates, seen)
             new_front, n_new = enqueue_outlinks(candidates, next_seq, wave + 1)
-            frontier_next = (
-                deferred.select(*_FRONTIER_COLS)
-                .unionByName(retry.select(*_FRONTIER_COLS))
-                .unionByName(new_front)
-            )
+
+            # retry rows: rejoin the small retryable key set against the
+            # cached scheduled frontier (never against the corpus).
+            if n_retried > 0:
+                retry_keys = parse_out.filter(
+                    (F.col("kind") == "resp") & F.col("retryable")
+                ).select(F.col("parent_seq").alias("seq"))
+                retry = (
+                    scheduled.join(F.broadcast(retry_keys), "seq")
+                    .select(*_FRONTIER_COLS)
+                    .withColumn("attempt", F.col("attempt") + 1)
+                )
+            else:
+                retry = new_front.limit(0)
+
+            # deferred: skip the anti-join entirely when politeness
+            # scheduled the whole pending set (the common BFS case).
+            if n_sched == pending_count:
+                frontier_next = retry.unionByName(new_front)
+            else:
+                frontier_next = (
+                    deferred.select(*_FRONTIER_COLS)
+                    .unionByName(retry)
+                    .unionByName(new_front)
+                )
             io.write(frontier_next, "frontier", wave + 1)
+            tr.mark("dedup+seq+frontier")
             next_seq += n_new
             if cfg.dedup:
                 new_seen = io.read("frontier", wave + 1).filter(
@@ -301,29 +376,18 @@ class CrawlEngine:
                 )
                 io.write(new_seen.select("url_canon"), "seen", wave + 1)
                 self._bloom_add(new_seen)
+                tr.mark("seen+bloom")
 
-            # metrics: ONE aggregation pass yields the wave's counters;
-            # rows are buffered driver-side (they are tiny — one per
-            # partition) and flushed at checkpoint commits
-            m = wave_metrics(
-                wave, responses, parse_out, 0, t_fp_ms, 0.0, cfg.max_retry_times
-            )
-            mrows = [r.asDict() for r in m.collect()]
-            n_sched = sum(r["scheduled"] for r in mrows)
-            n_fetched = sum(r["fetched"] for r in mrows)
-            n_failed = sum(r["failed"] for r in mrows)
-            n_retried = sum(r["retried"] for r in mrows)
-            n_items = sum(r["items"] for r in mrows)
-            n_outlinks = sum(r["outlinks"] for r in mrows)
             n_dedup = max(n_outlinks - n_new, 0)
             for r in mrows:
                 if r["partition_id"] == -1:
                     r["deduped"] = n_dedup
+                r["t_fetch_ms"] = t_fp_ms
             self._metrics_buf.extend(mrows)
             stats.scheduled += n_sched
-            stats.fetched += n_fetched
+            stats.fetched += sum(r["fetched"] for r in mrows)
             stats.failed += n_failed
-            stats.items += n_items
+            stats.items += sum(r["items"] for r in mrows)
             stats.outlinks += n_outlinks
             stats.deduped += n_dedup
             stats.exhausted += n_failed - n_retried
@@ -340,9 +404,8 @@ class CrawlEngine:
                         "deduped": int(stats.deduped),
                     }
                 )
-            for df in (scheduled, responses, parse_out):
+            for df in (scheduled, parse_out, *drain_seq_caches()):
                 df.unpersist()
-            self.spark.catalog.clearCache()
 
         for sp in self.spiders.values():
             sp.close()  # reference close hook (spider.rs:51-53)

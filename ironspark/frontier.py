@@ -25,6 +25,16 @@ _FRONTIER_COLS = [
     "method", "headers", "body", "meta", "status",
 ]
 
+# persisted intermediates from with_global_seq, drained by the engine
+# once the wave's frontier is materialized (see drain_seq_caches)
+_SEQ_CACHES: list = []
+
+
+def drain_seq_caches() -> list:
+    out = list(_SEQ_CACHES)
+    _SEQ_CACHES.clear()
+    return out
+
 
 def with_global_seq(
     df: DataFrame, order_cols: list[str], base_seq: int = 0, out: str = "seq"
@@ -44,6 +54,7 @@ def with_global_seq(
         "_pid", F.spark_partition_id()
     )
     d = d.persist()
+    _SEQ_CACHES.append(d)
     counts = dict(d.groupBy("_pid").count().collect())
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -101,26 +112,36 @@ def seeds_to_frontier(seeds: DataFrame, dedup: bool = True) -> DataFrame:
     return _finish_frontier(f, wave=0)
 
 
-def canonicalize_outlinks(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
-    """Parse-emitted request rows -> canonicalized candidate rows.
+def prepare_candidates(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
+    """Parse-emitted request rows -> candidate frontier rows.
 
-    outlinks columns: spider_id, parent_seq, link_index, out_url.
-    dedup=True self-dedups within the batch, first occurrence in
-    (parent_seq, link_index) order winning — the reference's arrival
-    discipline under canonical single-threaded execution (SURVEY.md
-    §4.3.3). Cross-wave dedup (the seen set) and seq assignment happen
-    AFTER this step, so dropped duplicates never consume seq numbers.
+    outlinks columns: spider_id, parent_seq, link_index, out_url,
+    url_canon, host (canonicalization already done inside the parse
+    pass — see parse.py). dedup=True self-dedups within the batch,
+    first occurrence in (parent_seq, link_index) order winning — the
+    reference's arrival discipline under canonical single-threaded
+    execution (SURVEY.md §4.3.3). Implemented as groupBy + min_by so
+    the output stays hash-partitioned by url_canon and the subsequent
+    seen anti-join reuses the exchange (one shuffle, not two).
+    Cross-wave dedup (seen) and seq assignment happen AFTER this step,
+    so dropped duplicates never consume seq numbers.
     """
-    f = with_canonical(outlinks, "out_url").filter(F.col("url_canon").isNotNull())
-    if dedup:
-        wd = Window.partitionBy("url_canon").orderBy("parent_seq", "link_index")
-        f = (
-            f.withColumn("_rk", F.row_number().over(wd))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
+    f = outlinks.filter(F.col("url_canon").isNotNull())
+    if not dedup:
+        return f.withColumnRenamed("out_url", "url").select(
+            "url_canon", "url", "host", "spider_id", "parent_seq", "link_index"
         )
-    return f.withColumnRenamed("out_url", "url").select(
-        "url_canon", "url", "host", "spider_id", "parent_seq", "link_index"
+    first = F.min_by(
+        F.struct("out_url", "host", "spider_id", "parent_seq", "link_index"),
+        F.struct("parent_seq", "link_index"),
+    ).alias("w")
+    return f.groupBy("url_canon").agg(first).select(
+        "url_canon",
+        F.col("w.out_url").alias("url"),
+        F.col("w.host").alias("host"),
+        F.col("w.spider_id").alias("spider_id"),
+        F.col("w.parent_seq").alias("parent_seq"),
+        F.col("w.link_index").alias("link_index"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -70,10 +71,14 @@ ROBOTS_SCHEMA = StructType(
     ]
 )
 
-# -- parse output: a union of outlink rows, item rows, and stat rows ---------
-# kind: "request" | "item" | "stat"  (reference SpiderResult enum,
-# src/spider/spider.rs:37-45; routing src/spider/manager.rs:283-307;
-# "stat" rows carry per-partition parse lineage: number = rows consumed)
+# -- parse output: a union of outlink rows, item rows, and response rows -----
+# kind: "request" | "item" | "resp"  (reference SpiderResult enum,
+# src/spider/spider.rs:37-45; routing src/spider/manager.rs:283-307).
+# "resp" rows carry per-response fetch lineage (one per scheduled row:
+# status, acceptance, retryability, wire bytes) so metrics and the retry
+# path never re-run the corpus join. "request" rows carry url_canon +
+# host computed inside the same Arrow pass (one Python round-trip per
+# wave total).
 PARSE_OUT_SCHEMA = StructType(
     [
         StructField("kind", StringType()),
@@ -82,12 +87,19 @@ PARSE_OUT_SCHEMA = StructType(
         StructField("parent_seq", LongType()),
         StructField("link_index", IntegerType()),
         StructField("out_url", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("host", StringType()),
         StructField("item_type", StringType()),
         StructField("title", StringType()),
         StructField("author", StringType()),
         StructField("number", LongType()),
         StructField("src_url", StringType()),
         StructField("text", StringType()),
+        StructField("resp_status", IntegerType()),
+        StructField("accepted", BooleanType()),
+        StructField("retryable", BooleanType()),
+        StructField("bytes_req", LongType()),
+        StructField("bytes_resp", LongType()),
     ]
 )
 
