@@ -496,13 +496,20 @@ _WORDS_CTE = (
 )
 
 _SIG_CTE = (
-    _WORDS_CTE
-    + ", wd AS (SELECT DISTINCT doc_id, word FROM w)"
-    + ", bands AS (SELECT unnest(generate_series(0, 3)) AS band)"
-    + ", hashes AS (SELECT doc_id, band, "
-    + _MD5NUM_DUCK.format(x="concat(word, '#', band)")
-    + " AS h FROM wd CROSS JOIN bands)"
-    + ", sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM hashes GROUP BY doc_id, band)"
+    "wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x <> '') AS ws FROM documents)"
+    ", sh AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM wl)"
+    ", shd AS (SELECT DISTINCT doc_id, shingle FROM sh)"
+    ", bands AS (SELECT unnest(generate_series(0, 3)) AS band)"
+    ", hashes AS (SELECT doc_id, band, "
+    + _MD5NUM_DUCK.format(x="concat(shingle, '#', band)")
+    + " AS h FROM shd CROSS JOIN bands)"
+    ", sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM hashes GROUP BY doc_id, band)"
+    ", small AS (SELECT band, minhash FROM sig GROUP BY band, minhash "
+    "HAVING COUNT(*) > 1 AND COUNT(*) <= 50)"
+    ", sigf AS (SELECT sig.* FROM sig JOIN small USING (band, minhash))"
 )
 
 
@@ -626,12 +633,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_lsh_pairs": (
             "WITH " + _SIG_CTE + " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM sig a JOIN sig b USING (band, minhash) WHERE a.doc_id < b.doc_id"
+            "FROM sigf a JOIN sigf b USING (band, minhash) WHERE a.doc_id < b.doc_id"
         ),
         "t_jaccard_pairs": (
-            "WITH " + _SIG_CTE + ", pairs AS ("
+            "WITH " + _SIG_CTE + ", " + _WORDS_CTE + ", "
+            "wd AS (SELECT DISTINCT doc_id, word FROM w), pairs AS ("
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM sig a JOIN sig b USING (band, minhash) WHERE a.doc_id < b.doc_id), "
+            "FROM sigf a JOIN sigf b USING (band, minhash) WHERE a.doc_id < b.doc_id), "
             "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
             "JOIN wd wa ON wa.doc_id = p.doc_a JOIN wd wb ON wb.doc_id = p.doc_b "
             "AND wb.word = wa.word GROUP BY p.doc_a, p.doc_b), "

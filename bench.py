@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+1. The headline crawl: full engine loop (politeness -> corpus-join fetch
+   -> Arrow parse -> Bloom-pruned dedup -> frontier) over a deterministic
+   synthetic Common-Crawl-weight page corpus sized by sf. Reported as
+   crawl seconds + the authoritative frontier-throughput metric
+   (urls_per_sec = scheduled+deduped per second).
+2. Operator timings: headline queries() entries over the sf tables.
+
+The N-vs-4N scaling-efficiency evidence lives in bench/scaling.py
+(writes BENCH/BASELINE.md); this script is the fast per-round probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("IRONSPARK_BENCH_CACHE", "/tmp/ironspark_bench")
+
+# crawl corpus sized by sf (sf0.1 -> 60k heavy pages, ~6KB html each)
+_SF_PAGES = {"0.001": 2_000, "0.01": 12_000, "0.1": 60_000, "1": 400_000}
+
+QUERY_NAMES = [
+    "q1_lineitem_agg", "x1_exchange_join", "f3_politeness_topk",
+    "p7_antijoin_dedup", "d2_status_filter", "t_exact_dedup",
+    "t_lsh_pairs", "t_simhash", "t_langid", "t_fingerprint",
+    "a_cosine_topk", "a_knn_join", "mm_metadata",
+]
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def corpus_path(sf: str, n: int) -> str:
+    return os.path.join(CACHE, f"pages_{sf}_{n}")
+
+
+def main() -> None:
+    from ironspark.config import EngineConfig
+    from ironspark.corpus import build_graph_corpus, graph_seeds
+    from ironspark.engine import CrawlEngine
+    from ironspark.schemas import SEEDS_SCHEMA
+    from ironspark.session import get_spark
+    from ironspark.spider import LinkSpider
+
+    import __spark_entry__ as entry_mod
+
+    sf = _sf_of(SF_DIR)
+    n_pages = _SF_PAGES.get(sf, max(int(600_000 * float(sf)), 2_000))
+    n_hosts = max(n_pages // 100, 20)
+
+    spark = get_spark(
+        "ironspark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # the runtime Bloom pushdown pays off when the scheduled batch
+            # is tiny vs the corpus; a BFS bench touches everything, so
+            # the per-wave bloom-build job is pure overhead here
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- corpus (cached across rounds; generation excluded from timing) ----
+    pdir = corpus_path(sf, n_pages)
+    if not os.path.isdir(pdir):
+        os.makedirs(CACHE, exist_ok=True)
+        build_graph_corpus(
+            spark, n_pages, n_hosts=n_hosts, parallelism=CPUS,
+            mega_share=0.1, filler_words=700,
+        ).write.mode("overwrite").parquet(pdir)
+    pages = spark.read.parquet(pdir)
+    seeds = spark.createDataFrame(
+        graph_seeds(n_pages, max(n_pages // 20, 10), n_hosts, mega_share=0.1),
+        SEEDS_SCHEMA,
+    )
+
+    cfg = EngineConfig(
+        dedup=True,
+        seen_backend="bloom",
+        bloom_capacity=max(n_pages * 2, 1 << 16),
+        max_waves=12,
+        respect_robots=False,
+        wave_seconds=3600.0,
+        default_crawl_delay=0.5,
+        checkpoint_every=100,
+    )
+    eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+    run_dir = os.path.join(CACHE, "crawl_run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    stats = eng.run(seeds=seeds, run_dir=run_dir)
+    crawl_s = time.monotonic() - t0
+
+    # -- operator timings ---------------------------------------------------
+    queries = entry_mod.queries()
+    q_times: dict[str, float] = {"crawl": round(crawl_s, 3)}
+    for name in QUERY_NAMES:
+        t = time.monotonic()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        q_times[name] = round(time.monotonic() - t, 3)
+
+    total = round(crawl_s + sum(v for k, v in q_times.items() if k != "crawl"), 3)
+    out = {
+        "metric": "ironspark end-to-end: crawl (frontier urls scheduled+deduped) + headline operators",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": float(sf),
+        "crawl": {
+            "pages": n_pages,
+            "waves": stats.waves,
+            "scheduled": stats.scheduled,
+            "deduped": stats.deduped,
+            "items": stats.items,
+            "outlinks": stats.outlinks,
+            "seconds": round(crawl_s, 3),
+            "urls_per_sec": round(stats.urls_per_sec, 1),
+        },
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,26 +40,59 @@ def _host_for(pid: int, n_hosts: int, mega_share: float = 0.8) -> str:
     return f"h{(pid * _KNUTH) % max(n_hosts - 1, 1):04d}.example.com"
 
 
-def graph_page(pid: int, n_pages: int, n_hosts: int) -> dict:
-    """One deterministic web-graph page (component b/c/d)."""
-    host = _host_for(pid, n_hosts)
+_VOCAB = (
+    "web crawl spark frontier parse table index fetch robots corpus token "
+    "batch shard layout column filter stream vector merge scan query page "
+    "the of and to in that for with archive snapshot lineage metric"
+).split()
+
+
+def _filler(pid: int, n_words: int) -> str:
+    """Deterministic filler paragraphs (heavy-page realism)."""
+    v = len(_VOCAB)
+    words = [_VOCAB[(pid * 31 + i * 7) % v] for i in range(n_words)]
+    paras = []
+    for i in range(0, n_words, 60):
+        paras.append("<p>" + " ".join(words[i : i + 60]) + "</p>")
+    return "".join(paras)
+
+
+def graph_page(
+    pid: int,
+    n_pages: int,
+    n_hosts: int,
+    mega_share: float = 0.8,
+    filler_words: int = 0,
+) -> dict:
+    """One deterministic web-graph page (component b/c/d).
+
+    filler_words > 0 produces Common-Crawl-weight pages (several KB of
+    paragraph text) for the throughput benchmark; 0 keeps the tiny
+    test-corpus shape.
+    """
+    host = _host_for(pid, n_hosts, mega_share)
     url = f"http://{host}/page/{pid}"
     author = f"Author {(pid * 7) % 97}"
-    out_deg = (pid * 13) % 21  # 0..20
+    out_deg = (pid * 13) % 21 if not filler_words else 5 + (pid * 13) % 16
     links = []
     for k in range(out_deg):
         tgt = (pid * _KNUTH + 97 * (k + 1)) % n_pages
-        links.append(f'<a href="http://{_host_for(tgt, n_hosts)}/page/{tgt}">p{tgt}</a>')
+        links.append(
+            f'<a href="http://{_host_for(tgt, n_hosts, mega_share)}/page/{tgt}">p{tgt}</a>'
+        )
     nav = "".join(links)
+    body = _filler(pid, filler_words) if filler_words else ""
 
     if pid % 997 == 13:  # invalid UTF-8 body
         html = b"\xff\xfe<article>broken</article>"
         text = None
     elif pid % 991 == 7:  # missing <author>
-        html = f"<article>Article {pid}{nav}</article>".encode()
+        html = f"<article>Article {pid}{body}{nav}</article>".encode()
         text = article_text_of(html.decode())
     else:
-        html_s = f"<article>Article {pid}<author>{author}</author>{nav}</article>"
+        html_s = (
+            f"<article>Article {pid}<author>{author}</author>{body}{nav}</article>"
+        )
         html = html_s.encode()
         text = article_text_of(html_s)
 
@@ -107,13 +140,23 @@ def build_graph_corpus_pdf(n_pages: int, n_hosts: int = 20) -> pd.DataFrame:
     return pd.DataFrame([graph_page(i, n_pages, n_hosts) for i in range(n_pages)])
 
 
-def build_graph_corpus(spark, n_pages: int, n_hosts: int = 50, parallelism: int = 32):
+def build_graph_corpus(
+    spark,
+    n_pages: int,
+    n_hosts: int = 50,
+    parallelism: int = 32,
+    mega_share: float = 0.8,
+    filler_words: int = 0,
+):
     """Distributed (bench scale): spark.range + mapInPandas."""
 
     def synth(batches):
         for pdf in batches:
             yield pd.DataFrame(
-                [graph_page(int(i), n_pages, n_hosts) for i in pdf["id"]]
+                [
+                    graph_page(int(i), n_pages, n_hosts, mega_share, filler_words)
+                    for i in pdf["id"]
+                ]
             )
 
     return (
@@ -141,14 +184,20 @@ def article_seeds(
     return pd.DataFrame(rows)
 
 
-def graph_seeds(n_pages: int, n_seeds: int, n_hosts: int = 20, spider_id: int = 1) -> pd.DataFrame:
+def graph_seeds(
+    n_pages: int,
+    n_seeds: int,
+    n_hosts: int = 20,
+    spider_id: int = 1,
+    mega_share: float = 0.8,
+) -> pd.DataFrame:
     rows = []
     for s in range(n_seeds):
         pid = (s * _KNUTH + 17) % n_pages
         rows.append(
             {
                 "spider_id": spider_id,
-                "url": f"http://{_host_for(pid, n_hosts)}/page/{pid}",
+                "url": f"http://{_host_for(pid, n_hosts, mega_share)}/page/{pid}",
                 "seed_rank": s,
             }
         )

@@ -83,6 +83,11 @@ class CrawlStats:
     exhausted: int = 0
     wall_s: float = 0.0
     run_dir: str = ""
+    # per-wave lineage for steady-state throughput analysis
+    wave_walls: list = field(default_factory=list)  # seconds per wave
+    wave_scheduled: list = field(default_factory=list)
+    wave_new: list = field(default_factory=list)
+    wave_outlinks: list = field(default_factory=list)
 
     @property
     def urls_per_sec(self) -> float:
@@ -260,6 +265,7 @@ class CrawlEngine:
                 break
             seen = io.read_all_waves("seen")
             tr = _Tracer(wave)
+            t_wave = time.monotonic()
 
             # schedule (F3/F7): politeness window-rank + global cap
             scheduled, deferred = select_wave(
@@ -392,6 +398,10 @@ class CrawlEngine:
             stats.deduped += n_dedup
             stats.exhausted += n_failed - n_retried
             pending_count = pending_count - n_sched + n_retried + n_new
+            stats.wave_walls.append(time.monotonic() - t_wave)
+            stats.wave_scheduled.append(n_sched)
+            stats.wave_new.append(n_new)
+            stats.wave_outlinks.append(n_outlinks)
 
             wave += 1
             stats.waves = wave

@@ -60,38 +60,67 @@ def _words(documents: DataFrame) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
-def minhash_signatures(documents: DataFrame, bands: int = 4) -> DataFrame:
-    """MinHash signature per (doc, band) over word shingles.
+def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: k-word shingles, space-joined.
 
-    shingle→minhash→band: hash_b(w) = md5num(word || '#' || b); the
-    band signature is MIN over the doc's words. Portable, deterministic.
+    Pure column arithmetic (split -> sequence -> transform -> explode);
+    DuckDB-portable via string_split_regex + generate_series +
+    list_transform. Docs shorter than k words yield no shingles.
+    """
+    words = F.split(F.lower(F.col("text")), _WS)
+    words = F.filter(words, lambda x: x != "")
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+    # sequence(0, n) with n < 0 would count DOWN in Spark — guard short docs
+    sh = F.when(F.size(words) >= k, mk).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(documents: DataFrame, bands: int = 4, k: int = 3) -> DataFrame:
+    """MinHash signature per (doc, band) over k-word shingles.
+
+    shingle→minhash→band: hash_b(s) = md5num(shingle || '#' || b); the
+    band signature is MIN over the doc's shingles. Portable and
+    deterministic.
 
     Scale: explode + groupBy(doc_id) — shuffle on doc_id, combiner
     does the min map-side. bands small (4-16); signature table is
     bands× the doc count, tiny next to the corpus.
     """
-    w = _words(documents).distinct()
-    bands_df = w.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
+    s = _shingles(documents, k).distinct()
+    bands_df = s.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
     return (
-        w.crossJoin(F.broadcast(bands_df))
+        s.crossJoin(F.broadcast(bands_df))
         .withColumn(
-            "h", _md5num(F.concat_ws("#", F.col("word"), F.col("band")))
+            "h", _md5num(F.concat_ws("#", F.col("shingle"), F.col("band")))
         )
         .groupBy("doc_id", "band")
         .agg(F.min("h").alias("minhash"))
     )
 
 
-def lsh_candidate_pairs(documents: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    documents: DataFrame, bands: int = 4, k: int = 3, max_bucket: int = 50
+) -> DataFrame:
     """LSH banding: docs sharing ANY (band, minhash) bucket become a
     candidate near-dup pair (doc_a < doc_b).
 
-    Scale: the self-join runs on (band, minhash) buckets — skew appears
-    only if one bucket is huge (near-identical boilerplate); cap with a
-    bucket-size filter upstream in a real pipeline. Pair explosion is
-    quadratic per bucket, which is the standard LSH trade.
+    Scale: pair explosion is quadratic per bucket, so buckets larger
+    than max_bucket are dropped — the standard boilerplate guard (a
+    bucket holding thousands of docs is template noise, not near-dup
+    signal, and its pairs would dominate the join). The bucket-size
+    filter is one extra hash aggregation, broadcast back.
     """
-    sig = minhash_signatures(documents, bands)
+    sig = minhash_signatures(documents, bands, k)
+    small = (
+        sig.groupBy("band", "minhash")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("band", "minhash")
+    )
+    sig = sig.join(F.broadcast(small), ["band", "minhash"])
     a = sig.select(
         F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_a")
     )
