@@ -110,8 +110,10 @@ class TableIO:
             else os.path.join(self.root, name, f"wave={wave}")
         )
 
-    def write(self, df: DataFrame, name: str, wave: int | None = None) -> None:
-        df.write.mode("overwrite").parquet(self.path(name, wave))
+    def write(
+        self, df: DataFrame, name: str, wave: int | None = None, mode: str = "overwrite"
+    ) -> None:
+        df.write.mode(mode).parquet(self.path(name, wave))
 
     def read(self, name: str, wave: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self.path(name, wave))
@@ -207,7 +209,17 @@ class CrawlEngine:
         seeds=None,
         run_dir: str | None = None,
         resume: bool = False,
+        staged_seeds: list | None = None,
     ) -> CrawlStats:
+        """Run the crawl to frontier-empty (or max_waves).
+
+        seeds: DataFrame/list seeded at wave 0. staged_seeds: optional
+        list of further seed DataFrames ("pending spiders", reference
+        src/spider/manager.rs:239-279) — one group is activated per
+        wave, but only while the frontier holds no more than
+        cfg.scheduler_holding_threshold pending requests (admission
+        control F4, SCHEDULER_HOLDING_THRESOLD src/spider/manager.rs:34-36).
+        """
         cfg = self.cfg
         run_dir = run_dir or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="ironspark_")
         io = TableIO(self.spark, run_dir)
@@ -261,9 +273,46 @@ class CrawlEngine:
             pending = io.read("frontier", wave)
             if pending_count is None:
                 pending_count = pending.count()
-            if pending_count == 0:  # idle shutdown (monitor.rs:62-72)
-                break
             seen = io.read_all_waves("seen")
+
+            # spider admission (F4/L2): activate one pending seed group
+            # per wave while the frontier holds <= threshold requests
+            # (reference try_activate_pending_spider,
+            # src/spider/manager.rs:239-279, threshold :34-36)
+            if staged_seeds and pending_count <= cfg.scheduler_holding_threshold:
+                grp = staged_seeds.pop(0)
+                inj = seeds_to_frontier(
+                    grp, dedup=cfg.dedup, base_seq=next_seq, wave=wave
+                )
+                inj = robots_disallow_filter(
+                    inj, self.robots if cfg.respect_robots else None
+                )
+                if cfg.dedup:
+                    inj = self._filter_new(inj, seen)
+                io.write(inj, "frontier", wave, mode="append")
+                pending = io.read("frontier", wave)
+                injected = pending.filter(F.col("seq") > next_seq)
+                n_inj = injected.count()
+                if cfg.dedup and n_inj:
+                    io.write(
+                        injected.select("url_canon"), "seen", wave, mode="append"
+                    )
+                    self._bloom_add(injected)
+                    seen = io.read_all_waves("seen")
+                if n_inj:
+                    # duplicate seeds consume seq numbers (reference seed
+                    # path) — advance past the max actually assigned
+                    next_seq = int(injected.agg(F.max("seq")).first()[0])
+                pending_count += n_inj
+
+            # idle shutdown: frontier empty AND no pending spiders
+            # (reference condition monitor.rs:62-68 includes
+            # pending_spiders == 0)
+            if pending_count == 0:
+                if staged_seeds:
+                    continue  # same-wave re-tick: activate the next group
+                break
+
             tr = _Tracer(wave)
             t_wave = time.monotonic()
 

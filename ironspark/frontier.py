@@ -96,7 +96,9 @@ def _finish_frontier(f: DataFrame, wave: int) -> DataFrame:
     )
 
 
-def seeds_to_frontier(seeds: DataFrame, dedup: bool = True) -> DataFrame:
+def seeds_to_frontier(
+    seeds: DataFrame, dedup: bool = True, base_seq: int = 0, wave: int = 0
+) -> DataFrame:
     """Seed rows -> wave-0 pending frontier with deterministic seq.
 
     Reference seed injection: ``src/spider/manager.rs:239-279``. Seed
@@ -106,10 +108,10 @@ def seeds_to_frontier(seeds: DataFrame, dedup: bool = True) -> DataFrame:
     preserves.
     """
     f = with_canonical(seeds, "url").filter(F.col("url_canon").isNotNull())
-    f, _ = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], 0)
+    f, _ = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], base_seq)
     if dedup:
         f = _first_per_url(f)
-    return _finish_frontier(f, wave=0)
+    return _finish_frontier(f, wave=wave)
 
 
 def prepare_candidates(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
