@@ -1,0 +1,114 @@
+"""Semantic unit tests for the training-data pipeline ops."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ironspark.ann import cosine_topk, ivf_topk, knn_join_bruteforce
+from ironspark.textops import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (4, "der hund ist nicht auf der couch und das ist gut", "de"),
+        (5, "le chat est dans la maison et il est content", "fr"),
+        (6, "xyzzy plugh", "und"),
+        (7, "completely different words about spark engines and tables", "en"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    assert len(out) == 6  # 7 docs, one exact duplicate pair
+    dup = out[out["dup_count"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_doc_id"] == 1
+
+
+def test_lsh_finds_near_dups(spark, docs):
+    pairs = lsh_candidate_pairs(docs, bands=4).toPandas()
+    got = set(map(tuple, pairs.values))
+    assert (1, 2) in got  # exact dup always collides
+    # near-dup (1,3) shares most shingles; with 4 bands it should collide
+    assert (1, 3) in got or (2, 3) in got
+
+
+def test_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    )
+    out = jaccard_pairs(docs, pairs).toPandas().set_index(["doc_a", "doc_b"])
+    assert out.loc[(1, 2), "jaccard"] == 1.0
+    # doc1 has 8 distinct words, doc3 differs by one word: |inter|=7, |union|=9
+    assert abs(out.loc[(1, 3), "jaccard"] - 7 / 9) < 1e-6
+
+
+def test_simhash_similarity(spark, docs):
+    out = simhash(docs, bits=16).toPandas().set_index("doc_id")["simhash"]
+    assert out[1] == out[2]  # identical docs, identical fingerprint
+    ham_near = bin(int(out[1]) ^ int(out[3])).count("1")
+    ham_far = bin(int(out[1]) ^ int(out[7])).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_language_id(spark, docs):
+    out = language_id(docs).toPandas().set_index("doc_id")["lang_guess"]
+    assert out[1] == "en" and out[4] == "de" and out[5] == "fr"
+    assert out[6] == "und"
+
+
+def test_token_and_quality(spark, docs):
+    toks = token_count(docs).toPandas().set_index("doc_id")
+    assert toks.loc[1, "n_tokens"] == 9
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    assert q.loc[6, "quality"] == 0.0  # too short
+    assert q.loc[1, "stop_ratio"] > 0  # 'the' twice
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["Hello   World", "hello world"]}
+    )
+    sdf = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(docs)
+    out = fingerprint(sdf).toPandas()
+    assert out["fp_md5"].nunique() == 1  # case+whitespace normalized
+
+
+def test_cosine_topk_and_ivf(spark):
+    import numpy as np
+
+    rng = [[float((i * 7 + j * 3) % 10) for j in range(8)] for i in range(50)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": rng})
+    )
+    q = rng[0]
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    assert exact.iloc[0]["vec_id"] == 0 and exact.iloc[0]["sim"] == 1.0
+    assert (exact["sim"].diff().dropna() <= 1e-9).all()  # descending
+
+    ivf = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).toPandas()
+    # probing ALL centroids == exact
+    assert list(ivf["vec_id"]) == list(exact["vec_id"])
+
+    knn = knn_join_bruteforce(emb, emb.filter(F.col("vec_id") < 2), k=3).toPandas()
+    assert set(knn["query_id"]) == {0, 1}
+    assert (knn.groupby("query_id").size() == 3).all()
+    assert (knn[knn["rank"] == 1]["sim"] == 1.0).all()  # self is nearest
