@@ -53,6 +53,12 @@ class EngineConfig:
     # -- robots enforcement ----------------------------------------------------
     respect_robots: bool = True
 
+    # -- fetch join strategy -----------------------------------------------------
+    # "broadcast": the scheduled batch probes the corpus scan (no corpus
+    # shuffle — right up to waves of ~10M rows). "shuffle": plain
+    # shuffled left join (giant waves; pair with a bucketed corpus).
+    fetch_strategy: str = "broadcast"
+
     # -- parity no-ops kept for API compatibility (src/config.rs:38-43,49,56) --
     downloader_request_timeout_s: float = 3.0
     downloader_connect_timeout_s: float = 3.0

@@ -152,6 +152,7 @@ class CrawlEngine:
         config: EngineConfig | None = None,
         robots: DataFrame | None = None,
         pipelines: PipelineManager | None = None,
+        redirects: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -159,6 +160,7 @@ class CrawlEngine:
         self.cfg = config or EngineConfig()
         self.robots = robots
         self.pipelines = pipelines
+        self.redirects = redirects
         # middleware hooks (north rule: request/response hooks are
         # DataFrame transform stages; reference dataflow engine.rs:100-188)
         self.request_hooks: list[Callable[[DataFrame], DataFrame]] = []
@@ -350,7 +352,10 @@ class CrawlEngine:
             # InMemoryRelation -> Arrow path measured ~10x slower than
             # the live join.
             t0 = time.monotonic()
-            responses = fetch_from_corpus(scheduled, self._prepared_pages())
+            responses = fetch_from_corpus(
+                scheduled, self._prepared_pages(), self.redirects,
+                strategy=cfg.fetch_strategy,
+            )
             for hook in self.response_hooks:
                 responses = hook(responses)
             parse_out = parse_responses(responses, self.spiders, cfg).persist()

@@ -26,21 +26,63 @@ from ironspark.config import EngineConfig
 _REQ_OVERHEAD = 1 + 1 + 8 + 2 + 2  # spaces + "HTTP/1.1" + CRLFs
 
 
-def fetch_from_corpus(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_from_corpus(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    redirects: DataFrame | None = None,
+    strategy: str = "broadcast",
+) -> DataFrame:
     """scheduled frontier rows -> response rows (status, body bytes).
 
     Corpus hit -> 200 with the page's html bytes; miss -> 404 with null
     body (the reference surfaces non-2xx as rejectable responses,
-    ``downloader.rs:236-247``).
+    ``downloader.rs:236-247``). An optional redirects(src, dst) table
+    simulates the reference's redirect-following (final URL lands in
+    ``url_canon``; reqwest follows redirects transparently,
+    ``src/response.rs:10`` "url: final URL after redirects").
     """
+    if redirects is not None:
+        r = F.broadcast(redirects.select(
+            F.col("src").alias("_r_src"), F.col("dst").alias("_r_dst")
+        ))
+        scheduled = (
+            scheduled.join(r, scheduled["url_canon"] == F.col("_r_src"), "left")
+            .withColumn("url_canon", F.coalesce(F.col("_r_dst"), F.col("url_canon")))
+            .drop("_r_src", "_r_dst")
+        )
     corpus = pages.select(
         F.col("url").alias("_page_url"),
         F.col("html").alias("body_bytes"),
         F.col("warc_ts"),
     )
-    joined = scheduled.join(
-        corpus, scheduled["url_canon"] == corpus["_page_url"], "left"
-    ).drop("_page_url")
+    if strategy == "broadcast":
+        # NEVER shuffle the corpus: a wave's scheduled batch is tiny next
+        # to the page store, so hits = corpus scan probing a broadcast
+        # hash table of the batch (zero shuffle, zero sort; parallelism =
+        # parquet splits), and misses = an anti-join against the
+        # column-pruned url-only scan (KBs of parquet, not the html).
+        # A plain left join would shuffle wave-sized HTML every wave —
+        # measured as the scaling killer (disk-bound, flat across cores).
+        # For waves too large to broadcast (>~10M rows), strategy
+        # "shuffle" is the fallback; at 100 TB the corpus side is
+        # bucketed by url so even that shuffles only the batch.
+        hits = corpus.join(
+            F.broadcast(scheduled), corpus["_page_url"] == scheduled["url_canon"]
+        ).drop("_page_url")
+        misses = (
+            scheduled.join(
+                F.broadcast(pages.select(F.col("url").alias("_page_url"))),
+                scheduled["url_canon"] == F.col("_page_url"),
+                "left_anti",
+            )
+            .withColumn("body_bytes", F.lit(None).cast("binary"))
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        )
+        joined = hits.unionByName(misses.select(*hits.columns))
+    else:
+        joined = scheduled.join(
+            corpus, scheduled["url_canon"] == corpus["_page_url"], "left"
+        ).drop("_page_url")
 
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     return (

@@ -1,0 +1,61 @@
+"""Structured Streaming veneer (SURVEY.md §2.11, §7.6).
+
+The crawl loop itself is iterative batch by design (the frontier is
+both input and output of each step; deterministic replay and snapshot
+resume are the contract — SURVEY §2.11). What Structured Streaming IS
+the right tool for is the engine's OUTPUT: items and metrics land in
+append-only parquet directories, which are first-class streaming file
+sources. These helpers expose them as live streams so downstream
+consumers (indexers, quality monitors, trainers) tail the crawl while
+it runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironspark.schemas import ITEMS_SCHEMA, METRICS_SCHEMA
+
+
+def stream_items(spark: SparkSession, run_dir: str) -> DataFrame:
+    """readStream over the crawl's items table (append-only wave dirs)."""
+    return (
+        spark.readStream.schema(ITEMS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{run_dir}/items/wave=*")
+    )
+
+
+def items_per_author_stream(
+    spark: SparkSession, run_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Windowed aggregation with watermark over the live item stream.
+
+    Event time is synthesized from the item's wave via a processing-time
+    stamp at ingest — the reference has no event-time notion (SURVEY
+    §2.11: ordering is arrival order), so lateness handling applies to
+    the *consumer* side only.
+    """
+    items = stream_items(spark, run_dir).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    return (
+        items.withWatermark("ingest_ts", "1 minute")
+        .groupBy(F.window("ingest_ts", window), F.col("author"))
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+def run_stream_once(stream_df: DataFrame, out_dir: str) -> None:
+    """Drain whatever is currently in the source (Trigger.AvailableNow)
+    into a parquet sink — the batch-testable form of the live stream."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
