@@ -292,6 +292,78 @@ def _skew2p_salted_agg(spark, sf):
     )
 
 
+# -- general relational coverage (set ops, rollup, dates, JSON, arrays, windows)
+
+def _s_set_ops(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        a.intersect(b).withColumn("src", F.lit("both"))
+        .unionByName(a.exceptAll(b).distinct().withColumn("src", F.lit("big_only")))
+    )
+
+
+def _g_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "cnt", "qty",
+        )
+    )
+
+
+def _dt_date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_month"),
+    )
+
+
+def _j_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("cnt"), F.sum(k).alias("k_sum")
+    )
+
+
+def _arr_array_funcs(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(vec), 6).alias("vmax"),
+    )
+
+
+def _w_lag_running(spark, sf):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+    )
+
+
 # -- training-data pipeline ops ------------------------------------------------
 
 def _t_exact_dedup(spark, sf):
@@ -465,6 +537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_exchange_join": _x1_exchange_join,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "skew2p_salted_agg": _skew2p_salted_agg,
+        "s_set_ops": _s_set_ops,
+        "g_rollup": _g_rollup,
+        "dt_date_funcs": _dt_date_funcs,
+        "j_json_extract": _j_json_extract,
+        "arr_array_funcs": _arr_array_funcs,
+        "w_lag_running": _w_lag_running,
         "t_exact_dedup": _t_exact_dedup,
         "t_minhash_sig": _t_minhash_sig,
         "t_lsh_pairs": _t_lsh_pairs,
@@ -623,6 +701,43 @@ def oracle_sql() -> dict[str, str]:
         "skew2p_salted_agg": (
             "SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "s_set_ops": (
+            "WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000), "
+            "b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') "
+            "SELECT o_custkey, 'both' AS src FROM (SELECT * FROM a INTERSECT SELECT * FROM b) "
+            "UNION ALL "
+            "SELECT DISTINCT o_custkey, 'big_only' AS src FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)"
+        ),
+        "g_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS rf, "
+            "COALESCE(l_linestatus, 'ALL') AS ls, "
+            "COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "dt_date_funcs": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, "
+            "CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q, "
+            "COUNT(*) AS cnt, MIN(date_trunc('month', o_orderdate)) AS first_month "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "j_json_extract": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, "
+            "COUNT(*) AS cnt, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum "
+            "FROM events GROUP BY 1"
+        ),
+        "arr_array_funcs": (
+            "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+            "ROUND(list_sum(embedding[1:8]::DOUBLE[]), 6) AS head_sum, "
+            "ROUND(list_max(embedding::DOUBLE[]), 6) AS vmax "
+            "FROM embeddings"
+        ),
+        "w_lag_running": (
+            "SELECT user_id, event_id, "
+            "LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event, "
+            "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value "
+            "FROM events"
         ),
         "t_exact_dedup": (
             "SELECT MIN(doc_id) AS keep_doc_id, md5(text) AS text_hash, "

@@ -112,11 +112,20 @@ print("SCALING_JSON " + json.dumps(out))
 """
 
 
-def run_child(cores: int, pages: int, filler: int, pdir: str) -> dict:
+def run_child(
+    cores: int, pages: int, filler: int, pdir: str, pin: bool = False
+) -> dict:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, filler=filler, pdir=pdir)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
+    argv = [sys.executable, "-c", code]
+    if pin:
+        # pin the whole child (JVM + python workers) to exactly `cores`
+        # CPUs — otherwise the small run free-rides on the idle rest of
+        # the machine (cache/bandwidth/turbo) and the comparison is
+        # meaningless as cluster-size evidence
+        argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        argv, capture_output=True, text=True, env=env,
         timeout=3600,
     )
     for line in proc.stdout.splitlines():
@@ -131,8 +140,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=240_000)
     ap.add_argument("--filler", type=int, default=2500)
-    ap.add_argument("--small", type=int, default=8)
-    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--small", type=int, default=2)
+    ap.add_argument("--large", type=int, default=8)
+    ap.add_argument("--pin", action="store_true", default=True,
+                    help="taskset-pin each child to its core budget")
+    ap.add_argument("--no-pin", dest="pin", action="store_false")
     args = ap.parse_args()
 
     os.makedirs(CACHE, exist_ok=True)
@@ -146,9 +158,9 @@ def main() -> None:
             )
 
     warm_cache()
-    r_small = run_child(args.small, args.pages, args.filler, pdir)
+    r_large = run_child(args.large, args.pages, args.filler, pdir, pin=args.pin)
     warm_cache()
-    r_large = run_child(args.large, args.pages, args.filler, pdir)
+    r_small = run_child(args.small, args.pages, args.filler, pdir, pin=args.pin)
 
     ratio = args.large / args.small
     eff_total = (r_large["urls_per_sec"] / r_small["urls_per_sec"]) / ratio
@@ -173,7 +185,8 @@ def main() -> None:
 Per `BASELINE.json` (`north_rule`), the target is throughput scaling
 efficiency >= 0.8 from N to 4N executors. No real cluster exists in
 this sandbox; per the session protocol, the same crawl job ran on the
-same input at `local[{args.small}]` (N) and `local[{args.large}]` (4N cores).
+same input at `local[{args.small}]` (N) and `local[{args.large}]` (4N
+cores){', each child taskset-pinned to exactly its core budget so the small run cannot free-ride on idle cache/bandwidth/turbo of the rest of the machine' if args.pin else ''}.
 
 **Job**: full crawl-engine loop (politeness window-rank schedule ->
 corpus-join fetch -> one-pass Arrow parse/extract/canonicalize ->

@@ -63,16 +63,23 @@ def fetch_from_corpus(
         # column-pruned url-only scan (KBs of parquet, not the html).
         # A plain left join would shuffle wave-sized HTML every wave —
         # measured as the scaling killer (disk-bound, flat across cores).
-        # For waves too large to broadcast (>~10M rows), strategy
-        # "shuffle" is the fallback; at 100 TB the corpus side is
-        # bucketed by url so even that shuffles only the batch.
+        # The broadcast build side is projected to exactly what the
+        # parse stage consumes: probing a full frontier row (incl. null
+        # MAP columns) measured 2x the whole stage cost, since every
+        # matched row copies the build side. For waves too large to
+        # broadcast (>~10M rows), strategy "shuffle" is the fallback; at
+        # 100 TB the corpus side is bucketed by url so even that
+        # shuffles only the batch.
+        slim = scheduled.select(
+            "url_canon", "url", "spider_id", "seq", "attempt", "method", "body"
+        )
         hits = corpus.join(
-            F.broadcast(scheduled), corpus["_page_url"] == scheduled["url_canon"]
+            F.broadcast(slim), corpus["_page_url"] == slim["url_canon"]
         ).drop("_page_url")
         misses = (
-            scheduled.join(
+            slim.join(
                 F.broadcast(pages.select(F.col("url").alias("_page_url"))),
-                scheduled["url_canon"] == F.col("_page_url"),
+                slim["url_canon"] == F.col("_page_url"),
                 "left_anti",
             )
             .withColumn("body_bytes", F.lit(None).cast("binary"))
@@ -84,7 +91,10 @@ def fetch_from_corpus(
             corpus, scheduled["url_canon"] == corpus["_page_url"], "left"
         ).drop("_page_url")
 
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # path length via a codegen-friendly regex strip of scheme://host —
+    # parse_url lowers to an interpreted evaluator invoke (measured hot)
+    path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     return (
         joined.withColumn(
             "resp_status",

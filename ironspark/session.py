@@ -39,7 +39,10 @@ def get_spark(
         # corpus scan without reading the whole pages table
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small Arrow batches keep per-worker memory bounded: crawl rows
+        # carry multi-KB html payloads, and 32 workers x 10k-row batches
+        # measured as a machine-wide memory stall
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("IRONSPARK_DRIVER_MEM", "8g"))
