@@ -48,6 +48,7 @@ from ironspark.spider import LinkSpider
 M = {cores}
 N = {pages}
 FILLER = {filler}
+MARKUP = {markup}
 HOSTS = max(N // 100, 20)
 PDIR = {pdir!r}
 
@@ -57,7 +58,8 @@ spark.sparkContext.setLogLevel("ERROR")
 
 if not os.path.isdir(PDIR):
     build_graph_corpus(spark, N, n_hosts=HOSTS, parallelism=32,
-                       mega_share=0.1, filler_words=FILLER
+                       mega_share=0.1, filler_words=FILLER,
+                       markup_every=MARKUP
                        ).write.mode("overwrite").parquet(PDIR)
 pages = spark.read.parquet(PDIR)
 
@@ -113,9 +115,11 @@ print("SCALING_JSON " + json.dumps(out))
 
 
 def run_child(
-    cores: int, pages: int, filler: int, pdir: str, pin: bool = False
+    cores: int, pages: int, filler: int, pdir: str, pin: bool = False,
+    markup: int = 0,
 ) -> dict:
-    code = CHILD.format(root=ROOT, cores=cores, pages=pages, filler=filler, pdir=pdir)
+    code = CHILD.format(root=ROOT, cores=cores, pages=pages, filler=filler,
+                        pdir=pdir, markup=markup)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:
@@ -138,8 +142,11 @@ def run_child(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=240_000)
-    ap.add_argument("--filler", type=int, default=2500)
+    ap.add_argument("--pages", type=int, default=60_000)
+    ap.add_argument("--filler", type=int, default=600)
+    ap.add_argument("--markup", type=int, default=2,
+                    help="wrap every k-th filler word in an inline tag "
+                         "(tag-dense pages, the realistic CPU profile)")
     ap.add_argument("--small", type=int, default=2)
     ap.add_argument("--large", type=int, default=8)
     ap.add_argument("--pin", action="store_true", default=True,
@@ -148,7 +155,7 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(CACHE, exist_ok=True)
-    pdir = os.path.join(CACHE, f"pages_scaling_{args.pages}_{args.filler}")
+    pdir = os.path.join(CACHE, f"pages_scaling_{args.pages}_{args.filler}_{args.markup}")
 
     def warm_cache() -> None:
         """Read the corpus files once so neither child pays cold disk."""
@@ -158,9 +165,9 @@ def main() -> None:
             )
 
     warm_cache()
-    r_large = run_child(args.large, args.pages, args.filler, pdir, pin=args.pin)
+    r_large = run_child(args.large, args.pages, args.filler, pdir, pin=args.pin, markup=args.markup)
     warm_cache()
-    r_small = run_child(args.small, args.pages, args.filler, pdir, pin=args.pin)
+    r_small = run_child(args.small, args.pages, args.filler, pdir, pin=args.pin, markup=args.markup)
 
     ratio = args.large / args.small
     eff_total = (r_large["urls_per_sec"] / r_small["urls_per_sec"]) / ratio
@@ -191,9 +198,10 @@ cores){', each child taskset-pinned to exactly its core budget so the small run 
 **Job**: full crawl-engine loop (politeness window-rank schedule ->
 corpus-join fetch -> one-pass Arrow parse/extract/canonicalize ->
 Bloom-pruned seen dedup -> FIFO seq extension -> frontier snapshot)
-over {args.pages:,} Common-Crawl-weight synthetic pages (~{args.filler}
-filler words ≈ 15-20 KB html each, {max(args.pages // 100, 20):,}
-hosts, 10% mega-host skew), seeds = pages/20, until frontier empty.
+over {args.pages:,} Common-Crawl-weight synthetic pages ({args.filler}
+filler words, tag-dense markup every {args.markup} words ≈ 6-7 KB html,
+{max(args.pages // 100, 20):,} hosts, 10% mega-host skew), seeds =
+pages/20, until frontier empty.
 JIT warmup crawl excluded from timing (long-lived executors on a real
 cluster are always warm).
 

@@ -47,10 +47,21 @@ _VOCAB = (
 ).split()
 
 
-def _filler(pid: int, n_words: int) -> str:
-    """Deterministic filler paragraphs (heavy-page realism)."""
+def _filler(pid: int, n_words: int, markup_every: int = 0) -> str:
+    """Deterministic filler paragraphs (heavy-page realism).
+
+    markup_every=k wraps every k-th word in an inline tag — real web
+    pages are tag-dense (30-50% markup), which is what makes HTML
+    parsing CPU-bound rather than memory-bound.
+    """
     v = len(_VOCAB)
     words = [_VOCAB[(pid * 31 + i * 7) % v] for i in range(n_words)]
+    if markup_every:
+        tags = ("b", "i", "em", "span")
+        words = [
+            f"<{tags[i % 4]}>{w}</{tags[i % 4]}>" if i % markup_every == 0 else w
+            for i, w in enumerate(words)
+        ]
     paras = []
     for i in range(0, n_words, 60):
         paras.append("<p>" + " ".join(words[i : i + 60]) + "</p>")
@@ -63,6 +74,7 @@ def graph_page(
     n_hosts: int,
     mega_share: float = 0.8,
     filler_words: int = 0,
+    markup_every: int = 0,
 ) -> dict:
     """One deterministic web-graph page (component b/c/d).
 
@@ -81,7 +93,7 @@ def graph_page(
             f'<a href="http://{_host_for(tgt, n_hosts, mega_share)}/page/{tgt}">p{tgt}</a>'
         )
     nav = "".join(links)
-    body = _filler(pid, filler_words) if filler_words else ""
+    body = _filler(pid, filler_words, markup_every) if filler_words else ""
 
     if pid % 997 == 13:  # invalid UTF-8 body
         html = b"\xff\xfe<article>broken</article>"
@@ -147,6 +159,7 @@ def build_graph_corpus(
     parallelism: int = 32,
     mega_share: float = 0.8,
     filler_words: int = 0,
+    markup_every: int = 0,
 ):
     """Distributed (bench scale): spark.range + mapInPandas."""
 
@@ -154,7 +167,8 @@ def build_graph_corpus(
         for pdf in batches:
             yield pd.DataFrame(
                 [
-                    graph_page(int(i), n_pages, n_hosts, mega_share, filler_words)
+                    graph_page(int(i), n_pages, n_hosts, mega_share,
+                               filler_words, markup_every)
                     for i in pdf["id"]
                 ]
             )
