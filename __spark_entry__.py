@@ -718,7 +718,8 @@ def oracle_sql() -> dict[str, str]:
         "dt_date_funcs": (
             "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, "
             "CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q, "
-            "COUNT(*) AS cnt, MIN(date_trunc('month', o_orderdate)) AS first_month "
+            "COUNT(*) AS cnt, "
+            "CAST(MIN(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS first_month "
             "FROM orders GROUP BY 1, 2"
         ),
         "j_json_extract": (

@@ -48,6 +48,9 @@ def fetch_from_corpus(
         scheduled = (
             scheduled.join(r, scheduled["url_canon"] == F.col("_r_src"), "left")
             .withColumn("url_canon", F.coalesce(F.col("_r_dst"), F.col("url_canon")))
+            # Response.url is the FINAL url after redirects
+            # (src/response.rs:10) — relative links resolve against it
+            .withColumn("url", F.coalesce(F.col("_r_dst"), F.col("url")))
             .drop("_r_src", "_r_dst")
         )
     corpus = pages.select(
