@@ -48,7 +48,7 @@ def _sf_of(sf_dir: str) -> str:
 
 
 def corpus_path(sf: str, n: int) -> str:
-    return os.path.join(CACHE, f"pages_{sf}_{n}")
+    return os.path.join(CACHE, f"pages_{sf}_{n}_td")
 
 
 def main() -> None:
@@ -84,7 +84,7 @@ def main() -> None:
         os.makedirs(CACHE, exist_ok=True)
         build_graph_corpus(
             spark, n_pages, n_hosts=n_hosts, parallelism=CPUS,
-            mega_share=0.1, filler_words=700,
+            mega_share=0.1, filler_words=600, markup_every=2,
         ).write.mode("overwrite").parquet(pdir)
     pages = spark.read.parquet(pdir)
     seeds = spark.createDataFrame(
