@@ -50,6 +50,12 @@ class EngineConfig:
     # -- loop termination (src/config.rs:51) ----------------------------------
     max_waves: int = 1000
 
+    # -- per-spider lifecycle (L3 deactivation sweep, manager.rs:188-199) ------
+    # True: track per-spider pending counts each wave and call close()
+    # as soon as a spider has no in-flight work (two small extra jobs
+    # per wave); False: close() fires once at shutdown.
+    track_spiders: bool = False
+
     # -- robots enforcement ----------------------------------------------------
     respect_robots: bool = True
 

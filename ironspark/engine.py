@@ -81,6 +81,7 @@ class CrawlStats:
     outlinks: int = 0
     deduped: int = 0
     exhausted: int = 0
+    closed_spiders: int = 0
     wall_s: float = 0.0
     run_dir: str = ""
     # per-wave lineage for steady-state throughput analysis
@@ -270,6 +271,20 @@ class CrawlEngine:
             if cfg.seen_backend == "bloom" and cfg.dedup:
                 self._bloom_add(front0)
 
+        # L3 deactivation sweep state: per-spider pending counts,
+        # maintained incrementally (reference closes a spider as soon
+        # as it has zero in-flight work, src/spider/manager.rs:188-199)
+        spider_pending: dict[int, int] = {}
+        closed_spiders: set[int] = set()
+        if cfg.track_spiders:
+            base = io.read("frontier", wave)
+            spider_pending = {
+                int(r["spider_id"]): r["cnt"]
+                for r in base.groupBy("spider_id").agg(
+                    F.count("*").alias("cnt")
+                ).collect()
+            }
+
         pending_count = None  # unknown -> probe once
         while wave < cfg.max_waves:
             pending = io.read("frontier", wave)
@@ -452,6 +467,23 @@ class CrawlEngine:
             stats.deduped += n_dedup
             stats.exhausted += n_failed - n_retried
             pending_count = pending_count - n_sched + n_retried + n_new
+            if cfg.track_spiders:
+                nxt = io.read("frontier", wave + 1)
+                spider_pending = {
+                    int(r["spider_id"]): r["cnt"]
+                    for r in nxt.groupBy("spider_id").agg(
+                        F.count("*").alias("cnt")
+                    ).collect()
+                }
+                for sid, sp in self.spiders.items():
+                    if (
+                        sid not in closed_spiders
+                        and spider_pending.get(sid, 0) == 0
+                    ):
+                        sp.close()  # deactivation (manager.rs:340-369)
+                        closed_spiders.add(sid)
+                stats.closed_spiders = len(closed_spiders)
+
             stats.wave_walls.append(time.monotonic() - t_wave)
             stats.wave_scheduled.append(n_sched)
             stats.wave_new.append(n_new)
@@ -471,8 +503,9 @@ class CrawlEngine:
             for df in (scheduled, parse_out, *drain_seq_caches()):
                 df.unpersist()
 
-        for sp in self.spiders.values():
-            sp.close()  # reference close hook (spider.rs:51-53)
+        for sid, sp in self.spiders.items():
+            if not cfg.track_spiders or sid not in closed_spiders:
+                sp.close()  # forced close at shutdown (manager.rs:208-237)
         self._flush_metrics(io)
         io.commit(
             {

@@ -76,6 +76,58 @@ def test_request_response_hooks(spark, setup, tmp_path):
     assert all("c0.example.com" in u for u in items["src_url"])
 
 
+def test_deactivation_sweep_closes_idle_spiders(spark, tmp_path):
+    """L3: a spider with zero in-flight work is closed mid-run
+    (reference sweep, manager.rs:188-199)."""
+    from ironspark.corpus import build_chain_corpus
+    import pandas as pd
+
+    closed_at = {}
+
+    class TrackingSpider(ArticleSpider):
+        def __init__(self, sid):
+            super().__init__()
+            self.sid = sid
+
+        def close(self):
+            closed_at.setdefault(self.sid, True)
+
+    # spider 1 crawls a 2-chain, spider 2 a 5-chain
+    pages = spark.createDataFrame(
+        pd.concat(
+            [
+                pd.DataFrame(__import__("ironspark.corpus", fromlist=["chain_pages"]).chain_pages("c0.example.com", 2)),
+                pd.DataFrame(__import__("ironspark.corpus", fromlist=["chain_pages"]).chain_pages("c1.example.com", 5)),
+            ],
+            ignore_index=True,
+        ),
+        PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "spider_id": [1, 2],
+                "url": [
+                    "http://c0.example.com:5000/article/2",
+                    "http://c1.example.com:5000/article/5",
+                ],
+                "seed_rank": [0, 0],
+            }
+        ),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(
+        dedup=True, max_waves=10, respect_robots=False, track_spiders=True
+    )
+    eng = CrawlEngine(
+        spark, pages, {1: TrackingSpider(1), 2: TrackingSpider(2)}, cfg
+    )
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "sweep"))
+    assert closed_at == {1: True, 2: True}
+    assert stats.closed_spiders >= 1  # spider 1 closed before shutdown
+    assert stats.items == 7
+
+
 def test_spider_admission_staggered(spark, setup, tmp_path):
     """F4: staged seed groups activate only while the frontier holds
     <= scheduler_holding_threshold pending requests."""
