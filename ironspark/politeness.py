@@ -73,10 +73,24 @@ def select_wave(
     """
     p = with_budget(pending, robots, cfg)
 
+    # fast path: hosts with pending <= budget schedule everything and
+    # SKIP the rank windows entirely — at steady state in a broad crawl
+    # that is almost every host, so the sort runs only over the few
+    # over-budget (hot) hosts. One cheap hash-agg + two broadcast joins
+    # buy the elision of two window sorts over the whole frontier.
+    over_hosts = (
+        p.groupBy("host", "budget")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > F.col("budget"))
+        .select("host")
+    )
+    under = p.join(F.broadcast(over_hosts), "host", "left_anti")
+    hot = p.join(F.broadcast(over_hosts), "host", "left_semi")
+
     # phase 1: salted partial rank — bounds the biggest window partition
     salt = F.pmod(F.xxhash64("url_canon"), F.lit(cfg.skew_salt_buckets))
     w1 = Window.partitionBy("host", salt).orderBy("seq")
-    p1 = p.withColumn("_r1", F.row_number().over(w1)).filter(
+    p1 = hot.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("budget")
     )
 
@@ -85,8 +99,10 @@ def select_wave(
     p2 = (
         p1.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("budget"))
-        .drop("_r1", "_r2", "budget", "crawl_delay")
+        .drop("_r1", "_r2")
     )
+
+    p2 = under.unionByName(p2).drop("budget", "crawl_delay")
 
     if cfg.max_wave_size is not None:
         scheduled = p2.orderBy("seq").limit(cfg.max_wave_size)
