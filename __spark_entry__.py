@@ -15,10 +15,14 @@ DuckDB CAST(concat('0x',substr(md5(x),1,15)) AS BIGINT)
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # ironspark pkg
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
