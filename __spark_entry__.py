@@ -727,8 +727,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1, 2"
         ),
         "j_json_extract": (
+            # CAST the SUM: DuckDB SUM(BIGINT) yields HUGEINT (int128),
+            # Spark sum(long) yields long — same value, different type,
+            # and the driver's value-hash gate is type-sensitive.
             "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, "
-            "COUNT(*) AS cnt, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum "
+            "COUNT(*) AS cnt, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum "
             "FROM events GROUP BY 1"
         ),
         "arr_array_funcs": (
@@ -857,7 +860,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LEAST(100, nb - f * 100) AS BIGINT) AS frame_bytes "
             "FROM m, LATERAL unnest(generate_series(0, CAST(CEIL(nb / 100.0) AS INT) - 1)) AS t(f)"
         ),
-        # p8_canonicalize, mm_feature: omitted -> driver rows-only check
-        # (pandas-UDF canonicalization / digest-derived fake features are
-        # not expressible as portable ANSI SQL)
+        # p8: the query template is a FIXED URL shape, so the pandas-UDF
+        # canonicalization (scheme/host lowercase, :80 drop, dot-segment
+        # removal, query sort, fragment strip) is expressible as string
+        # arithmetic for exactly that shape.
+        "p8_canonicalize": (
+            "SELECT doc_id, concat('http://', lower(source), '.example.com/A/', "
+            "CAST(doc_id AS VARCHAR), '?a=2&z=1') AS url_canon FROM documents"
+        ),
+        # mm_feature: the stub features are md5-digest bytes / 255.0, so
+        # feature[i] = byte i of md5(payload) = hex chars (2i+1, 2i+2).
+        "mm_feature": (
+            "SELECT doc_id AS media_id, "
+            "ROUND(CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) / 255.0, 6) AS f0, "
+            "ROUND(CAST(concat('0x', substr(md5(text), 15, 2)) AS INT) / 255.0, 6) AS f7 "
+            "FROM documents"
+        ),
     }
