@@ -577,6 +577,8 @@ _WORDS_CTE = (
     "FROM documents), w AS (SELECT doc_id, word FROM words WHERE word <> '')"
 )
 
+# MinHash hash family (matches ironspark.textops): h0 = md5num(shingle)
+# mod p, then hash_b = ((1000003 + 2b)*h0 + 12345 + b) mod p, p = 2^31-1.
 _SIG_CTE = (
     "wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
     "x -> x <> '') AS ws FROM documents)"
@@ -584,10 +586,13 @@ _SIG_CTE = (
     "generate_series(1, greatest(len(ws) - 2, 0)), "
     "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM wl)"
     ", shd AS (SELECT DISTINCT doc_id, shingle FROM sh)"
+    ", h0 AS (SELECT doc_id, "
+    + _MD5NUM_DUCK.format(x="shingle")
+    + " % 2147483647 AS h0 FROM shd)"
     ", bands AS (SELECT unnest(generate_series(0, 3)) AS band)"
-    ", hashes AS (SELECT doc_id, band, "
-    + _MD5NUM_DUCK.format(x="concat(shingle, '#', band)")
-    + " AS h FROM shd CROSS JOIN bands)"
+    ", hashes AS (SELECT doc_id, CAST(band AS INT) AS band, "
+    "((1000003 + 2*band) * h0 + 12345 + band) % 2147483647 AS h "
+    "FROM h0 CROSS JOIN bands)"
     ", sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM hashes GROUP BY doc_id, band)"
     ", small AS (SELECT band, minhash FROM sig GROUP BY band, minhash "
     "HAVING COUNT(*) > 1 AND COUNT(*) <= 50)"

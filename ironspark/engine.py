@@ -80,6 +80,8 @@ class CrawlStats:
     items: int = 0
     outlinks: int = 0
     deduped: int = 0
+    unrouted: int = 0  # items with no pipeline chain (M7, manager.rs:96-98)
+    dropped: int = 0  # accepted responses with no registered spider
     exhausted: int = 0
     closed_spiders: int = 0
     wall_s: float = 0.0
@@ -256,7 +258,7 @@ class CrawlEngine:
                     pd.DataFrame(seeds, columns=["spider_id", "url", "seed_rank"]),
                     SEEDS_SCHEMA,
                 )
-            front0 = seeds_to_frontier(seeds, dedup=cfg.dedup)
+            front0, n_seed = seeds_to_frontier(seeds, dedup=cfg.dedup)
             front0 = robots_disallow_filter(front0, self.robots if cfg.respect_robots else None)
             io.write(front0, "frontier", 0)
             front0 = io.read("frontier", 0)
@@ -265,7 +267,12 @@ class CrawlEngine:
             # enqueue) — reading it is a plain multi-dir scan, no
             # union/distinct job ever runs over the full set.
             io.write(front0.select("url_canon"), "seen", 0)
-            next_seq = (front0.agg(F.max("seq")).first()[0] or 0)
+            # duplicate seeds consume seq numbers (spec seed loop,
+            # tests/reference_executor.py): advance by the full numbered
+            # count, never max(seq) over surviving rows — if the LAST
+            # seed in order is a duplicate, max() would re-issue its seq
+            # to the first outlink and diverge from reference ordering.
+            next_seq = n_seed
             wave = 0
             io.commit({"next_wave": 0, "next_seq": int(next_seq), "deduped": 0})
             if cfg.seen_backend == "bloom" and cfg.dedup:
@@ -298,7 +305,7 @@ class CrawlEngine:
             # src/spider/manager.rs:239-279, threshold :34-36)
             if staged_seeds and pending_count <= cfg.scheduler_holding_threshold:
                 grp = staged_seeds.pop(0)
-                inj = seeds_to_frontier(
+                inj, n_grp = seeds_to_frontier(
                     grp, dedup=cfg.dedup, base_seq=next_seq, wave=wave
                 )
                 inj = robots_disallow_filter(
@@ -306,20 +313,22 @@ class CrawlEngine:
                 )
                 if cfg.dedup:
                     inj = self._filter_new(inj, seen)
-                io.write(inj, "frontier", wave, mode="append")
-                pending = io.read("frontier", wave)
-                injected = pending.filter(F.col("seq") > next_seq)
-                n_inj = injected.count()
-                if cfg.dedup and n_inj:
-                    io.write(
-                        injected.select("url_canon"), "seen", wave, mode="append"
-                    )
-                    self._bloom_add(injected)
-                    seen = io.read_all_waves("seen")
+                inj = inj.persist()
+                n_inj = inj.count()
                 if n_inj:
-                    # duplicate seeds consume seq numbers (reference seed
-                    # path) — advance past the max actually assigned
-                    next_seq = int(injected.agg(F.max("seq")).first()[0])
+                    io.write(inj, "frontier", wave, mode="append")
+                    pending = io.read("frontier", wave)
+                    if cfg.dedup:
+                        io.write(
+                            inj.select("url_canon"), "seen", wave, mode="append"
+                        )
+                        self._bloom_add(inj)
+                        seen = io.read_all_waves("seen")
+                inj.unpersist()
+                # every numbered seed consumes a seq — including ones
+                # dropped as duplicates or already-seen (spec seed loop
+                # advances the counter before its dedup check)
+                next_seq += n_grp
                 pending_count += n_inj
 
             # idle shutdown: frontier empty AND no pending spiders
@@ -397,8 +406,12 @@ class CrawlEngine:
                 )
                 .withColumn("wave", F.lit(wave))
             )
+            n_unrouted = 0
             if self.pipelines is not None:
-                items, _unrouted = self.pipelines.process(items)
+                items, unrouted = self.pipelines.process(items)
+                # M7 pipeline counter (manager.rs:96-98): items whose
+                # item_type has no chain are counted, not silently lost
+                n_unrouted = unrouted.count()
             io.write(items, "items", wave)
             tr.mark("items")
 
@@ -457,6 +470,7 @@ class CrawlEngine:
             for r in mrows:
                 if r["partition_id"] == -1:
                     r["deduped"] = n_dedup
+                    r["unrouted"] = n_unrouted
                 r["t_fetch_ms"] = t_fp_ms
             self._metrics_buf.extend(mrows)
             stats.scheduled += n_sched
@@ -465,8 +479,18 @@ class CrawlEngine:
             stats.items += sum(r["items"] for r in mrows)
             stats.outlinks += n_outlinks
             stats.deduped += n_dedup
+            stats.unrouted += n_unrouted
+            stats.dropped += sum(r["dropped"] for r in mrows)
             stats.exhausted += n_failed - n_retried
-            pending_count = pending_count - n_sched + n_retried + n_new
+            if self.request_hooks:
+                # a request hook may have dropped scheduled rows AFTER
+                # select_wave counted them against pending; the
+                # arithmetic below would overcount pending forever
+                # (blocking idle shutdown + staged-seed admission), so
+                # re-probe the materialized frontier next wave instead.
+                pending_count = None
+            else:
+                pending_count = pending_count - n_sched + n_retried + n_new
             if cfg.track_spiders:
                 nxt = io.read("frontier", wave + 1)
                 spider_pending = {
@@ -506,6 +530,10 @@ class CrawlEngine:
         for sid, sp in self.spiders.items():
             if not cfg.track_spiders or sid not in closed_spiders:
                 sp.close()  # forced close at shutdown (manager.rs:208-237)
+        if self.pipelines is not None:
+            # I5 drain + close: pipelines close after spiders, once the
+            # final wave's items are written (manager.rs:105-150)
+            self.pipelines.close_all()
         self._flush_metrics(io)
         io.commit(
             {

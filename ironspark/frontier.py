@@ -98,20 +98,24 @@ def _finish_frontier(f: DataFrame, wave: int) -> DataFrame:
 
 def seeds_to_frontier(
     seeds: DataFrame, dedup: bool = True, base_seq: int = 0, wave: int = 0
-) -> DataFrame:
-    """Seed rows -> wave-0 pending frontier with deterministic seq.
+) -> tuple[DataFrame, int]:
+    """Seed rows -> (wave-0 pending frontier with deterministic seq,
+    total seed rows numbered).
 
     Reference seed injection: ``src/spider/manager.rs:239-279``. Seed
     dedup (dedup=True) keeps the FIRST occurrence per url_canon — the
     reference example emits 30 duplicate seeds on purpose
     (basic_spider.rs:93-107), which reference-parity mode (dedup=False)
-    preserves.
+    preserves. The returned total counts EVERY numbered seed including
+    dropped duplicates — the reference's seq counter advances for
+    duplicates too (spec: tests/reference_executor.py seed loop), so
+    callers must continue from base_seq + total, not max(surviving seq).
     """
     f = with_canonical(seeds, "url").filter(F.col("url_canon").isNotNull())
-    f, _ = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], base_seq)
+    f, total = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], base_seq)
     if dedup:
         f = _first_per_url(f)
-    return _finish_frontier(f, wave=wave)
+    return _finish_frontier(f, wave=wave), total
 
 
 def prepare_candidates(outlinks: DataFrame, dedup: bool = True) -> DataFrame:

@@ -36,13 +36,18 @@ def wave_metrics(
 ) -> DataFrame:
     """Assemble the wave's crawl_metrics rows from parse_out alone."""
     is_resp = F.col("kind") == "resp"
-    ok = F.col("resp_status") < 400
+    # fetched/failed follow the ACCEPTANCE rule (status < 400 OR in
+    # http_error_allow_codes — already evaluated into `accepted` by the
+    # parse pass), not a bare status threshold: with allow codes set, an
+    # allow-listed 4xx counts as fetched (downloader.rs:236-247).
+    ok = F.col("accepted")
     agg = parse_out.groupBy("partition_id").agg(
         F.sum(is_resp.cast("long")).alias("scheduled"),
         F.sum((is_resp & ok).cast("long")).alias("fetched"),
         F.sum((is_resp & ~ok).cast("long")).alias("failed"),
         F.sum((is_resp & F.col("retryable")).cast("long")).alias("retried"),
         F.sum((is_resp & F.col("accepted")).cast("long")).alias("parsed"),
+        F.sum((is_resp & ok & ~F.col("routed")).cast("long")).alias("dropped"),
         F.sum((F.col("kind") == "item").cast("long")).alias("items"),
         F.sum((F.col("kind") == "request").cast("long")).alias("outlinks"),
         F.sum(F.when(is_resp, F.col("bytes_req")).otherwise(0)).alias("bytes_req"),

