@@ -41,8 +41,15 @@ class EngineConfig:
     # URL-seen backend: "exact" (anti-join) | "bloom" (partitioned Bloom
     # prune + exact confirm) | "cuckoo" (deletable entries).
     seen_backend: str = "exact"
+    # Per-SLICE capacity: each wave's new urls build one fixed-geometry
+    # delta slice (broadcast once, never re-sent); size this so a
+    # slice's bitset stays broadcast-friendly (~1.2 MB per 2^20 at 1%).
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
+    # Live slices before OR-compaction into one (stale broadcasts are
+    # released on compaction) — bounds both probe cost and executor
+    # memory at max_slices + 1 bitsets.
+    bloom_max_slices: int = 8
 
     # -- spider admission (src/spider/manager.rs:34-36) ----------------------
     scheduler_holding_threshold: int = 50

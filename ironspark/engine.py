@@ -44,7 +44,7 @@ from ironspark.parse import parse_responses
 from ironspark.pipeline import PipelineManager
 from ironspark.politeness import robots_disallow_filter, select_wave
 from ironspark.schemas import SEEDS_SCHEMA
-from ironspark.seen import BloomFilter, bloom_maybe_udf, build_bloom
+from ironspark.seen import ShardedBloom
 from ironspark.spider import Spider
 
 _FRONTIER_COLS = [
@@ -168,7 +168,7 @@ class CrawlEngine:
         # DataFrame transform stages; reference dataflow engine.rs:100-188)
         self.request_hooks: list[Callable[[DataFrame], DataFrame]] = []
         self.response_hooks: list[Callable[[DataFrame], DataFrame]] = []
-        self._bloom: BloomFilter | None = None
+        self._bloom: ShardedBloom | None = None
         # column-pruned corpus view; the scan carries only what the
         # fetch join needs (url, html, warc_ts) — Catalyst would prune
         # anyway, this makes it explicit and keeps text/lang out
@@ -187,8 +187,12 @@ class CrawlEngine:
 
     def _filter_new(self, candidates: DataFrame, seen: DataFrame) -> DataFrame:
         """Exact anti-join, optionally pruned by the incremental Bloom."""
-        if self.cfg.seen_backend == "bloom" and self._bloom is not None:
-            maybe_seen = bloom_maybe_udf(self.spark, self._bloom)
+        if (
+            self.cfg.seen_backend == "bloom"
+            and self._bloom is not None
+            and self._bloom.n_slices
+        ):
+            maybe_seen = self._bloom.maybe_seen_udf()
             tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_canon")))
             definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
             confirm = (
@@ -200,12 +204,19 @@ class CrawlEngine:
         return candidates.join(seen, "url_canon", "left_anti")
 
     def _bloom_add(self, new_urls: DataFrame) -> None:
+        """Add ONE delta slice from this wave's new urls. O(new) build,
+        one fixed-size broadcast; no merged-bitset re-broadcast, and
+        compaction releases superseded broadcasts (ShardedBloom)."""
         if self.cfg.seen_backend != "bloom":
             return
-        delta = build_bloom(
-            new_urls.select("url_canon"), "url_canon", self.cfg.bloom_capacity, self.cfg.bloom_fpp
-        )
-        self._bloom = delta if self._bloom is None else self._bloom.merge(delta)
+        if self._bloom is None:
+            self._bloom = ShardedBloom(
+                self.spark,
+                self.cfg.bloom_capacity,
+                self.cfg.bloom_fpp,
+                self.cfg.bloom_max_slices,
+            )
+        self._bloom.add_delta(new_urls.select("url_canon"), "url_canon")
 
     # -- run ------------------------------------------------------------------
 
@@ -244,9 +255,8 @@ class CrawlEngine:
                     r.asDict() for r in io.read("metrics").collect()
                 ]
             if cfg.seen_backend == "bloom" and cfg.dedup:
-                self._bloom = build_bloom(
-                    io.read("seen"), "url_canon", cfg.bloom_capacity, cfg.bloom_fpp
-                )
+                # rebuild as one slice from the full seen table
+                self._bloom_add(io.read("seen"))
         else:
             if os.path.isdir(run_dir):
                 shutil.rmtree(run_dir)

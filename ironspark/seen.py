@@ -121,6 +121,96 @@ def bloom_maybe_udf(spark, bloom: BloomFilter):
     return F.pandas_udf(maybe_seen, "boolean")
 
 
+class ShardedBloom:
+    """Incremental URL-seen Bloom as broadcast SLICES (LSM-style).
+
+    The naive scale path re-broadcasts the full merged bitset every wave
+    — O(total-seen-geometry) bytes on the wire per wave, and superseded
+    broadcasts pile up on driver and executors (a slow leak across
+    hundreds of waves). Instead each wave's NEW urls build one
+    fixed-geometry delta slice that is broadcast ONCE and never re-sent;
+    membership is the OR over the live slices (hashes computed once per
+    batch, shared across slices). When more than ``max_slices``
+    accumulate, they are OR-compacted into one (same geometry -> bitwise
+    OR is exact) and every superseded broadcast is released.
+
+    Per wave: exactly one delta-sized broadcast (plus one on compaction
+    waves); live executor memory is bounded by ``max_slices + 1``
+    bitsets. This is the K-slice sharding docs/SCALE.md derives for the
+    10^10-URL frontier: size ``capacity`` so one slice's bitset stays in
+    the broadcast comfort zone and the slice count, not the bitset,
+    absorbs growth. Exactness is unaffected — the Bloom only ever
+    PRUNES; "maybe seen" rows are still confirmed by the exact
+    anti-join (see BloomSeen/engine._filter_new).
+    """
+
+    def __init__(self, spark, capacity: int, fpp: float = 0.01, max_slices: int = 8):
+        self.spark = spark
+        self.capacity = capacity
+        self.fpp = fpp
+        self.max_slices = max_slices
+        self._slices: list = []  # [(Broadcast[(m,k,bytes)], BloomFilter)]
+        # bookkeeping asserted by tests: broadcasts created / released
+        self.n_broadcast = 0
+        self.n_unpersisted = 0
+
+    @property
+    def n_slices(self) -> int:
+        return len(self._slices)
+
+    def _push(self, bf: BloomFilter) -> None:
+        b = self.spark.sparkContext.broadcast((bf.m, bf.k, bf.bits.tobytes()))
+        self.n_broadcast += 1
+        self._slices.append((b, bf))
+        if len(self._slices) > self.max_slices:
+            merged = BloomFilter(self.capacity, self.fpp)
+            for _, part in self._slices:
+                assert part.m == merged.m and part.k == merged.k
+                merged.bits |= part.bits
+            for b_old, _ in self._slices:
+                b_old.unpersist()
+                self.n_unpersisted += 1
+            self._slices = []
+            self._push(merged)  # recurses at most once (1 <= max_slices)
+
+    def add_delta(self, df: DataFrame, url_col: str = "url_canon") -> None:
+        """Build + broadcast ONE slice from this wave's new urls only."""
+        self._push(build_bloom(df, url_col, self.capacity, self.fpp))
+
+    def add_local(self, urls) -> None:
+        """Driver-side add (small seed batches; avoids a Spark job)."""
+        bf = BloomFilter(self.capacity, self.fpp)
+        bf.add_series(pd.Series(list(urls)))
+        self._push(bf)
+
+    def maybe_seen_udf(self):
+        """Vectorized membership UDF over the live slices. Broadcast
+        payloads ship to an executor at most once (Spark broadcast
+        semantics); only the handle list is re-pickled per wave."""
+        handles = [b for b, _ in self._slices]
+
+        def maybe_seen(urls: pd.Series) -> pd.Series:
+            if not handles or not len(urls):
+                return pd.Series(np.zeros(len(urls), dtype=bool))
+            h1, h2 = _hash128_series(urls)
+            out = np.zeros(len(urls), dtype=bool)
+            for h in handles:
+                m, k, raw = h.value
+                bf = BloomFilter(2, 0.5)
+                bf.m, bf.k = m, k
+                bf.bits = np.frombuffer(raw, dtype=np.uint64)
+                out |= bf.contains_hashes(h1, h2)
+            return pd.Series(out)
+
+        return F.pandas_udf(maybe_seen, "boolean")
+
+    def unpersist_all(self) -> None:
+        for b, _ in self._slices:
+            b.unpersist()
+            self.n_unpersisted += 1
+        self._slices = []
+
+
 class ExactSeen:
     """Correctness-oracle backend: plain anti-join against the seen table."""
 

@@ -62,3 +62,58 @@ def test_cuckoo_capacity():
     cf = CuckooFilter(1000)
     ok = sum(cf.add(f"http://x.com/{i}") for i in range(1000))
     assert ok == 1000  # fits up to design capacity
+
+
+def test_sharded_bloom_membership_and_compaction(spark):
+    """Slices answer membership like one big filter; compaction bounds
+    live slices and releases every superseded broadcast."""
+    from ironspark.seen import ShardedBloom
+
+    sb = ShardedBloom(spark, capacity=4096, fpp=0.01, max_slices=3)
+    waves = []
+    for w in range(7):
+        urls = [f"http://h{w}.com/p/{i}" for i in range(200)]
+        waves.append(urls)
+        df = spark.createDataFrame([(u,) for u in urls], "url_canon string")
+        sb.add_delta(df, "url_canon")
+        assert sb.n_slices <= 3
+    # no false negatives across every wave ever added
+    all_urls = [u for ws in waves for u in ws]
+    df = spark.createDataFrame([(u,) for u in all_urls], "url_canon string")
+    got = df.withColumn("m", sb.maybe_seen_udf()(df["url_canon"])).toPandas()
+    assert got["m"].all()
+    # one broadcast per delta + one per compaction; stale ones released
+    assert sb.n_broadcast == sb.n_unpersisted + sb.n_slices
+    assert sb.n_unpersisted > 0  # compaction actually happened
+    sb.unpersist_all()
+    assert sb.n_broadcast == sb.n_unpersisted
+
+
+def test_engine_bloom_broadcast_discipline(spark, tmp_path):
+    """Per wave the engine creates O(1) Bloom broadcasts (one delta
+    slice, +1 on compaction) and releases superseded ones — never a
+    re-broadcast of the whole merged bitset (round-1 leak)."""
+    import pandas as pd
+
+    from ironspark.config import EngineConfig
+    from ironspark.corpus import build_graph_corpus_pdf, graph_seeds
+    from ironspark.engine import CrawlEngine
+    from ironspark.schemas import PAGES_SCHEMA, SEEDS_SCHEMA
+    from ironspark.spider import LinkSpider
+
+    pages = spark.createDataFrame(build_graph_corpus_pdf(300, 6), PAGES_SCHEMA)
+    seeds = spark.createDataFrame(graph_seeds(300, 5, 6), SEEDS_SCHEMA)
+    cfg = EngineConfig(
+        dedup=True, seen_backend="bloom", bloom_max_slices=2,
+        max_waves=10, respect_robots=False, bloom_capacity=1 << 12,
+    )
+    eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "bloomrun"))
+    sb = eng._bloom
+    assert sb is not None and stats.waves >= 2
+    # adds = one per wave that produced new urls (+ the seed wave);
+    # broadcasts = adds + compactions <= 2 * adds, and everything not
+    # live has been unpersisted
+    assert sb.n_broadcast <= 2 * (stats.waves + 1)
+    assert sb.n_slices <= cfg.bloom_max_slices
+    assert sb.n_unpersisted == sb.n_broadcast - sb.n_slices
