@@ -54,6 +54,12 @@ class EngineConfig:
     # -- spider admission (src/spider/manager.rs:34-36) ----------------------
     scheduler_holding_threshold: int = 50
 
+    # -- frontier storage (merge-on-read) --------------------------------------
+    # Pending = delta segments minus consumed tombstones; compaction
+    # rewrites the true pending set as one base segment when the list
+    # exceeds this or tombstones outnumber 2x the live backlog.
+    frontier_max_segments: int = 8
+
     # -- loop termination (src/config.rs:51) ----------------------------------
     max_waves: int = 1000
 

@@ -91,6 +91,7 @@ class CrawlStats:
     wave_scheduled: list = field(default_factory=list)
     wave_new: list = field(default_factory=list)
     wave_outlinks: list = field(default_factory=list)
+    wave_frontier_rows: list = field(default_factory=list)  # delta rows written
 
     @property
     def urls_per_sec(self) -> float:
@@ -117,6 +118,16 @@ class TableIO:
         self, df: DataFrame, name: str, wave: int | None = None, mode: str = "overwrite"
     ) -> None:
         df.write.mode(mode).parquet(self.path(name, wave))
+
+    def write_rel(self, df: DataFrame, relpath: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(os.path.join(self.root, relpath))
+
+    def read_rel(self, relpaths: list[str]) -> DataFrame:
+        # explicit leaf dirs, NO basePath: avoids partition-column
+        # inference colliding with the `wave` data column
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in relpaths]
+        )
 
     def read(self, name: str, wave: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self.path(name, wave))
@@ -243,12 +254,21 @@ class CrawlEngine:
         self._metrics_buf: list[dict] = []
         t_start = time.monotonic()
 
+        # Frontier state is MERGE-ON-READ (the Iceberg pattern on the
+        # TableIO seam): `segments` lists delta dirs (each wave appends
+        # only its retry+new rows), `consumed` lists the (seq, attempt)
+        # keys scheduled so far; pending = segments ⟕̸ consumed. The
+        # backlog is never rewritten per wave — only on amortized
+        # compaction or the fast-path reset (see end of wave loop).
         if resume:
             man = io.manifest()
             if man is None:
                 raise FileNotFoundError(f"no manifest to resume in {run_dir}")
             wave = man["next_wave"]
             next_seq = man["next_seq"]
+            segments = man.get("segments", [f"frontier/wave={wave}"])
+            consumed = man.get("consumed", [])
+            consumed_rows = man.get("consumed_rows", 0)
             stats.deduped = man.get("deduped", 0)
             if os.path.isdir(io.path("metrics")):
                 self._metrics_buf = [
@@ -284,9 +304,30 @@ class CrawlEngine:
             # to the first outlink and diverge from reference ordering.
             next_seq = n_seed
             wave = 0
-            io.commit({"next_wave": 0, "next_seq": int(next_seq), "deduped": 0})
+            segments = ["frontier/wave=0"]
+            consumed = []
+            consumed_rows = 0
+            io.commit(
+                {
+                    "next_wave": 0,
+                    "next_seq": int(next_seq),
+                    "deduped": 0,
+                    "segments": segments,
+                    "consumed": consumed,
+                    "consumed_rows": 0,
+                }
+            )
             if cfg.seen_backend == "bloom" and cfg.dedup:
                 self._bloom_add(front0)
+
+        def pending_view() -> DataFrame:
+            """Merge-on-read pending set: delta segments minus the
+            scheduled (seq, attempt) keys since the last compaction."""
+            df = io.read_rel(segments)
+            if consumed:
+                keys = io.read_rel(consumed).select("seq", "attempt")
+                df = df.join(keys, ["seq", "attempt"], "left_anti")
+            return df
 
         # L3 deactivation sweep state: per-spider pending counts,
         # maintained incrementally (reference closes a spider as soon
@@ -294,17 +335,16 @@ class CrawlEngine:
         spider_pending: dict[int, int] = {}
         closed_spiders: set[int] = set()
         if cfg.track_spiders:
-            base = io.read("frontier", wave)
             spider_pending = {
                 int(r["spider_id"]): r["cnt"]
-                for r in base.groupBy("spider_id").agg(
+                for r in pending_view().groupBy("spider_id").agg(
                     F.count("*").alias("cnt")
                 ).collect()
             }
 
         pending_count = None  # unknown -> probe once
         while wave < cfg.max_waves:
-            pending = io.read("frontier", wave)
+            pending = pending_view()
             if pending_count is None:
                 pending_count = pending.count()
             seen = io.read_all_waves("seen")
@@ -326,8 +366,8 @@ class CrawlEngine:
                 inj = inj.persist()
                 n_inj = inj.count()
                 if n_inj:
-                    io.write(inj, "frontier", wave, mode="append")
-                    pending = io.read("frontier", wave)
+                    io.write_rel(inj, segments[-1], mode="append")
+                    pending = pending_view()
                     if cfg.dedup:
                         io.write(
                             inj.select("url_canon"), "seen", wave, mode="append"
@@ -353,24 +393,27 @@ class CrawlEngine:
             t_wave = time.monotonic()
 
             # schedule (F3/F7): politeness window-rank + global cap
-            scheduled, deferred = select_wave(
+            selected, _deferred = select_wave(
                 pending, self.robots if cfg.respect_robots else None, cfg
             )
-            for hook in self.request_hooks:
-                scheduled = hook(scheduled)
             # Re-balance after politeness: the window rank leaves the
             # batch hash-partitioned by HOST, so a mega-domain (80% of
             # URLs) lands in ONE partition and the whole fetch+parse
             # stage inherits that skew (one straggler task does 80% of
             # the work — measured). A cheap shuffle of the body-free
             # scheduled rows by url_canon restores uniform parallelism
-            # for everything downstream.
+            # for everything downstream. Persisted PRE-hook: the same
+            # cached rows feed the fetch (post-hook), the order table,
+            # the retry rejoin, and the consumed-keys tombstones.
             nparts = max(self.spark.sparkContext.defaultParallelism, 1)
-            scheduled = (
-                scheduled.repartition(nparts, "url_canon")
+            selected = (
+                selected.repartition(nparts, "url_canon")
                 .withColumn("partition_id", F.spark_partition_id())
                 .persist()
             )
+            scheduled = selected
+            for hook in self.request_hooks:
+                scheduled = hook(scheduled)
             io.write(
                 scheduled.select("seq", "url_canon").withColumn("wave", F.lit(wave)),
                 "order",
@@ -455,17 +498,40 @@ class CrawlEngine:
             else:
                 retry = new_front.limit(0)
 
-            # deferred: skip the anti-join entirely when politeness
-            # scheduled the whole pending set (the common BFS case).
+            # DELTA-ONLY frontier write: only retry+new rows land in the
+            # wave's segment — the deferred backlog is never rewritten
+            # (merge-on-read; per-wave write volume is O(wave), see
+            # stats.wave_frontier_rows). Fast path: n_sched equal to
+            # pending_count means politeness scheduled everything and no
+            # hook dropped rows, so this delta IS the whole pending set
+            # and the segment/consumed state resets for free.
+            io.write(retry.unionByName(new_front), "frontier", wave + 1)
             if n_sched == pending_count:
-                frontier_next = retry.unionByName(new_front)
+                segments = [f"frontier/wave={wave + 1}"]
+                consumed = []
+                consumed_rows = 0
             else:
-                frontier_next = (
-                    deferred.select(*_FRONTIER_COLS)
-                    .unionByName(retry)
-                    .unionByName(new_front)
-                )
-            io.write(frontier_next, "frontier", wave + 1)
+                segments = segments + [f"frontier/wave={wave + 1}"]
+                # tombstones: the PRE-hook scheduled keys leave pending
+                # (a hook-dropped request is consumed, never retried)
+                io.write(selected.select("seq", "attempt"), "consumed", wave)
+                consumed = consumed + [f"consumed/wave={wave}"]
+                consumed_rows += n_sched
+                pending_next = max(pending_count - n_sched + n_retried + n_new, 1)
+                if (
+                    len(segments) > cfg.frontier_max_segments
+                    or consumed_rows > 2 * pending_next
+                ):
+                    # amortized compaction (Iceberg rewrite-data-files
+                    # analog): materialize the true pending set as ONE
+                    # base segment, drop the tombstones. O(backlog), but
+                    # triggered only when tombstones dominate or the
+                    # segment list grows — O(1) amortized per row.
+                    base_rel = f"frontier_base/wave={wave + 1}"
+                    io.write_rel(pending_view(), base_rel)
+                    segments = [base_rel]
+                    consumed = []
+                    consumed_rows = 0
             tr.mark("dedup+seq+frontier")
             next_seq += n_new
             if cfg.dedup:
@@ -502,7 +568,7 @@ class CrawlEngine:
             else:
                 pending_count = pending_count - n_sched + n_retried + n_new
             if cfg.track_spiders:
-                nxt = io.read("frontier", wave + 1)
+                nxt = pending_view()
                 spider_pending = {
                     int(r["spider_id"]): r["cnt"]
                     for r in nxt.groupBy("spider_id").agg(
@@ -522,6 +588,9 @@ class CrawlEngine:
             stats.wave_scheduled.append(n_sched)
             stats.wave_new.append(n_new)
             stats.wave_outlinks.append(n_outlinks)
+            # lineage evidence that frontier writes are O(wave), not
+            # O(backlog): rows written to the wave's delta segment
+            stats.wave_frontier_rows.append(n_retried + n_new)
 
             wave += 1
             stats.waves = wave
@@ -532,9 +601,12 @@ class CrawlEngine:
                         "next_wave": wave,
                         "next_seq": int(next_seq),
                         "deduped": int(stats.deduped),
+                        "segments": segments,
+                        "consumed": consumed,
+                        "consumed_rows": consumed_rows,
                     }
                 )
-            for df in (scheduled, parse_out, *drain_seq_caches()):
+            for df in (selected, parse_out, *drain_seq_caches()):
                 df.unpersist()
 
         for sid, sp in self.spiders.items():
@@ -550,6 +622,9 @@ class CrawlEngine:
                 "next_wave": wave,
                 "next_seq": int(next_seq),
                 "deduped": int(stats.deduped),
+                "segments": segments,
+                "consumed": consumed,
+                "consumed_rows": consumed_rows,
                 "done": True,
             }
         )
