@@ -179,6 +179,14 @@ class CrawlEngine:
         # DataFrame transform stages; reference dataflow engine.rs:100-188)
         self.request_hooks: list[Callable[[DataFrame], DataFrame]] = []
         self.response_hooks: list[Callable[[DataFrame], DataFrame]] = []
+        # S6 cookie store (reference src/config.rs:14, reqwest jar in
+        # downloader.rs:52): per-host cookie strings harvested from
+        # response set_cookie lineage, injected as a `cookie` header on
+        # the next wave's requests when cfg.store_cookies. Driver-side
+        # dict — the honest analog of the reference's in-process jar
+        # (bounded by hosts-with-cookies; shipped per wave as a
+        # broadcast join).
+        self._cookie_jar: dict[str, str] = {}
         self._bloom: ShardedBloom | None = None
         # column-pruned corpus view; the scan carries only what the
         # fetch join needs (url, html, warc_ts) — Catalyst would prune
@@ -414,6 +422,37 @@ class CrawlEngine:
             scheduled = selected
             for hook in self.request_hooks:
                 scheduled = hook(scheduled)
+            if cfg.store_cookies and self._cookie_jar:
+                # jar applies after middleware, like the reference's
+                # HTTP-client-level jar; an existing `cookie` header is
+                # replaced, other headers pass through untouched
+                jar = F.broadcast(
+                    self.spark.createDataFrame(
+                        sorted(self._cookie_jar.items()),
+                        "host string, _cookie string",
+                    )
+                )
+                no_cookie = F.map_filter(
+                    F.coalesce(
+                        F.col("headers"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda k, _: k != "cookie",
+                )
+                scheduled = (
+                    scheduled.join(jar, "host", "left")
+                    .withColumn(
+                        "headers",
+                        F.when(
+                            F.col("_cookie").isNotNull(),
+                            F.map_concat(
+                                no_cookie,
+                                F.create_map(F.lit("cookie"), F.col("_cookie")),
+                            ),
+                        ).otherwise(F.col("headers")),
+                    )
+                    .drop("_cookie")
+                )
             io.write(
                 scheduled.select("seq", "url_canon").withColumn("wave", F.lit(wave)),
                 "order",
@@ -449,6 +488,21 @@ class CrawlEngine:
             n_retried = sum(r["retried"] for r in mrows)
             n_outlinks = sum(r["outlinks"] for r in mrows)
             tr.mark("fetch+parse+metrics")
+
+            if cfg.store_cookies:
+                # harvest Set-Cookie lineage from the cached parse rows
+                # (never re-runs the fetch join); sorted for determinism
+                # — last (host, set_cookie) in order wins per host
+                jar_rows = (
+                    parse_out.filter(
+                        (F.col("kind") == "resp")
+                        & F.col("set_cookie").isNotNull()
+                    )
+                    .select("host", "set_cookie")
+                    .collect()
+                )
+                for r in sorted((r["host"], r["set_cookie"]) for r in jar_rows):
+                    self._cookie_jar[r[0]] = r[1]
 
             # items -> pipelines -> sink (I1-I5, S4)
             items = (

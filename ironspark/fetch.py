@@ -26,6 +26,20 @@ from ironspark.config import EngineConfig
 _REQ_OVERHEAD = 1 + 1 + 8 + 2 + 2  # spaces + "HTTP/1.1" + CRLFs
 
 
+def _headers_bytes():
+    """Per-header wire bytes: name + value + 4 ("k: v\\r\\n"), summed over
+    the headers map — the reference's exact term (src/request.rs:18-47).
+    Null/empty map contributes 0."""
+    return F.coalesce(
+        F.aggregate(
+            F.map_entries(F.col("headers")),
+            F.lit(0),
+            lambda acc, e: acc + F.length(e["key"]) + F.length(e["value"]) + 4,
+        ),
+        F.lit(0),
+    )
+
+
 def fetch_from_corpus(
     scheduled: DataFrame,
     pages: DataFrame,
@@ -74,24 +88,37 @@ def fetch_from_corpus(
         # 100 TB the corpus side is bucketed by url so even that
         # shuffles only the batch.
         slim = scheduled.select(
-            "url_canon", "url", "spider_id", "seq", "attempt", "method", "body"
+            "url_canon", "url", "host", "spider_id", "seq", "attempt",
+            "method", "headers", "body",
         )
+        # method-aware: the page store answers GETs; any other method is
+        # an explicit miss, never a silent GET (a ported POST spider
+        # sees 404s, not wrong pages; the live-HTTP stage would serve
+        # these). Reference sends the request's real method,
+        # downloader.rs:152-226.
+        is_get = F.coalesce(F.col("method"), F.lit("GET")) == "GET"
+        gets = slim.filter(is_get)
+        nongets = slim.filter(~is_get)
         hits = corpus.join(
-            F.broadcast(slim), corpus["_page_url"] == slim["url_canon"]
+            F.broadcast(gets), corpus["_page_url"] == gets["url_canon"]
         ).drop("_page_url")
         misses = (
-            slim.join(
+            gets.join(
                 F.broadcast(pages.select(F.col("url").alias("_page_url"))),
-                slim["url_canon"] == F.col("_page_url"),
+                gets["url_canon"] == F.col("_page_url"),
                 "left_anti",
             )
+            .unionByName(nongets)
             .withColumn("body_bytes", F.lit(None).cast("binary"))
             .withColumn("warc_ts", F.lit(None).cast("timestamp"))
         )
         joined = hits.unionByName(misses.select(*hits.columns))
     else:
+        is_get = F.coalesce(scheduled["method"], F.lit("GET")) == "GET"
         joined = scheduled.join(
-            corpus, scheduled["url_canon"] == corpus["_page_url"], "left"
+            corpus,
+            (scheduled["url_canon"] == corpus["_page_url"]) & is_get,
+            "left",
         ).drop("_page_url")
 
     # path length via a codegen-friendly regex strip of scheme://host —
@@ -109,12 +136,18 @@ def fetch_from_corpus(
                 F.length("method")
                 + F.length(path)
                 + F.lit(_REQ_OVERHEAD)
+                + _headers_bytes()
                 + F.coalesce(F.length("body"), F.lit(0))
             ).cast("long"),
         )
         .withColumn(
             "bytes_resp", F.coalesce(F.length("body_bytes"), F.lit(0)).cast("long")
         )
+        # set_cookie: the response-side cookie seam (reference jar,
+        # src/config.rs:14 store_cookies). The corpus join never sets
+        # it; a response hook or the live-HTTP stage fills it, and the
+        # engine folds it into its per-host jar (engine.py).
+        .withColumn("set_cookie", F.lit(None).cast("string"))
     )
 
 

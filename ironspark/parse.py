@@ -31,8 +31,8 @@ from ironspark.schemas import PARSE_OUT_SCHEMA
 from ironspark.url import canonicalize_series, host_series
 
 _PARSE_IN_COLS = [
-    "url", "url_canon", "spider_id", "seq", "resp_status", "body_bytes",
-    "attempt", "bytes_req", "bytes_resp",
+    "url", "url_canon", "host", "spider_id", "seq", "resp_status",
+    "body_bytes", "attempt", "bytes_req", "bytes_resp", "set_cookie",
 ]
 _OUT_COLS = [f.name for f in PARSE_OUT_SCHEMA.fields]
 
@@ -76,6 +76,8 @@ def parse_responses(
                     "bytes_req": pdf["bytes_req"].values,
                     "bytes_resp": pdf["bytes_resp"].values,
                     "src_url": pdf["url"].values,
+                    "host": pdf["host"].values,
+                    "set_cookie": pdf["set_cookie"].values,
                 }
             )
             for c in _OUT_COLS:

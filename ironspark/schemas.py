@@ -101,6 +101,9 @@ PARSE_OUT_SCHEMA = StructType(
         StructField("retryable", BooleanType()),
         StructField("bytes_req", LongType()),
         StructField("bytes_resp", LongType()),
+        # response-side cookie seam (S6): carried on "resp" rows so the
+        # engine's per-host jar never re-runs the fetch join
+        StructField("set_cookie", StringType()),
     ]
 )
 

@@ -153,3 +153,89 @@ def test_unregistered_spider_dropped_counter(spark, tmp_path):
     assert stats.dropped == 1
     m = eng.metrics_df(stats.run_dir).toPandas()
     assert m["dropped"].sum() == 1
+
+
+def test_wire_bytes_include_headers_exact(spark, tmp_path):
+    """D4 parity: bytes_req = len(method)+1+len(path)+1+8+2 + per-header
+    (name+value+4) + 2 + len(body) — the reference Request::size formula
+    (src/request.rs:18-47) — once a hook sets headers."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 1)), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame([(1, "http://c0.example.com:5000/article/1", 0)],
+                     columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, max_waves=3, respect_robots=False)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    eng.register_request_hook(
+        lambda df: df.withColumn(
+            "headers", F.create_map(F.lit("x-trace"), F.lit("abc123"))
+        )
+    )
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "wire"))
+    m = eng.metrics_df(stats.run_dir).toPandas()
+    got = int(m[m["wave"] == 0]["bytes_req"].sum())
+    path = "/article/1"
+    expected = (
+        len("GET") + 1 + len(path) + 1 + 8 + 2  # request line
+        + (len("x-trace") + len("abc123") + 4)  # headers
+        + 2  # blank line
+        + 0  # no body
+    )
+    assert got == expected, f"bytes_req {got} != reference {expected}"
+
+
+def test_non_get_is_explicit_miss(spark, tmp_path):
+    """A POST to a corpus page must surface as a 404 miss, never a
+    silent GET (method-aware fetch)."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 1)), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame([(1, "http://c0.example.com:5000/article/1", 0)],
+                     columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, max_waves=2, respect_robots=False,
+                       max_retry_times=0)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    eng.register_request_hook(
+        lambda df: df.withColumn("method", F.lit("POST"))
+    )
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "post"))
+    assert stats.fetched == 0 and stats.failed == 1 and stats.items == 0
+
+
+def test_cookie_jar_round_trip(spark, tmp_path):
+    """S6: set_cookie lineage (filled by a response hook) lands in the
+    per-host jar; the NEXT wave's requests carry it as a `cookie` header
+    — observable in the exact bytes_req delta."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 3)), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame([(1, "http://c0.example.com:5000/article/3", 0)],
+                     columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, max_waves=6, respect_robots=False,
+                       store_cookies=True)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    eng.register_response_hook(
+        lambda df: df.withColumn(
+            "set_cookie",
+            F.when(F.col("resp_status") == 200, F.lit("sid=42")),
+        )
+    )
+    stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "cookies"))
+    assert eng._cookie_jar == {"c0.example.com": "sid=42"}
+    m = eng.metrics_df(stats.run_dir).toPandas()
+    by_wave = m.groupby("wave")["bytes_req"].sum()
+    # wave 0: no cookie yet; wave 1+: + (len("cookie")+len("sid=42")+4)
+    cookie_bytes = len("cookie") + len("sid=42") + 4
+    base0 = len("GET") + 1 + len("/article/3") + 1 + 8 + 2 + 2
+    assert by_wave[0] == base0
+    base1 = len("GET") + 1 + len("/article/article/2") + 1 + 8 + 2 + 2
+    assert by_wave[1] == base1 + cookie_bytes
