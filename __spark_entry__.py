@@ -518,6 +518,148 @@ def _p8_canonicalize(spark, sf):
     )
 
 
+# -- round-2 additions: control-plane ops with SQL oracles ---------------------
+
+def _f4_admission(spark, sf):
+    # F4 staged admission math (manager.rs:239-279): a group is admitted
+    # while the backlog of previously admitted groups is <= threshold
+    from pyspark.sql import Window
+
+    groups = (
+        _t(spark, sf, "events")
+        .groupBy((F.col("user_id") % 8).alias("grp"))
+        .agg(F.count("*").alias("pending"))
+    )
+    w = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum("pending").over(w), F.lit(0))
+    return groups.select(
+        "grp", "pending", (prior <= 5000).alias("admitted")
+    )
+
+
+def _d5_redirects(spark, sf):
+    # D5 redirect resolution through the REAL fetch stage: /r/ urls
+    # follow a redirects table to their /d/ page (final url lands in
+    # url_canon, reference response.rs:10); /m/ urls are misses.
+    from ironspark.fetch import fetch_from_corpus
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/d/"), did)
+    rsrc = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/r/"), did)
+    miss = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/m/"), did)
+    pages = d.select(
+        base.alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, base)
+        .when(F.col("doc_id") % 3 == 1, rsrc)
+        .otherwise(miss)
+    )
+    sched = d.select(
+        url.alias("url_canon"),
+        url.alias("url"),
+        F.concat(F.col("source"), F.lit(".ex.com")).alias("host"),
+        F.lit(1).cast("long").alias("spider_id"),
+        F.col("doc_id").alias("seq"),
+        F.lit(0).alias("attempt"),
+        F.lit("GET").alias("method"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        F.lit(None).cast("string").alias("body"),
+    )
+    redirects = d.filter(F.col("doc_id") % 3 == 1).select(
+        rsrc.alias("src"), base.alias("dst")
+    )
+    resp = fetch_from_corpus(sched, pages, redirects)
+    return resp.select(
+        F.col("seq").alias("doc_id"),
+        "url_canon",
+        F.col("resp_status").cast("int").alias("resp_status"),
+        "bytes_resp",
+    )
+
+
+def _m8_spider_counters(spark, sf):
+    # M8 spider-manager counters: pending per spider over the spider
+    # universe; a spider with zero in-flight work is closed (L3 sweep)
+    sp = spark.range(4).select(F.col("id").cast("long").alias("spider_id"))
+    pend = (
+        _t(spark, sf, "documents")
+        .filter(F.col("n_chars") > 290)
+        .groupBy((F.col("doc_id") % 4).alias("spider_id"))
+        .agg(F.count("*").alias("pending"))
+    )
+    return sp.join(pend, "spider_id", "left").select(
+        "spider_id",
+        F.coalesce("pending", F.lit(0)).alias("pending"),
+        (F.coalesce("pending", F.lit(0)) == 0).alias("closed"),
+    )
+
+
+def _m9_scheduler_depth(spark, sf):
+    # M9 scheduler depth: running enqueue(+1)/dequeue(-1) per user queue
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    delta = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(-1)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id", "event_id", F.sum(delta).over(w).cast("long").alias("depth")
+    )
+
+
+def _i1_routing_counts(spark, sf):
+    # I1/M7 through the REAL PipelineManager: typed routing + transform
+    # chains + unrouted counting (manager.rs:51-99)
+    from ironspark.pipeline import PipelineManager
+
+    d = _t(spark, sf, "documents")
+    items = d.select(
+        (
+            F.when(F.col("doc_id") % 3 == 0, F.lit("article"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("page"))
+            .otherwise(F.lit("media"))
+        ).alias("item_type"),
+        "doc_id",
+    )
+    pm = PipelineManager()
+    pm.add_pipeline("article", lambda df: df.filter(F.col("doc_id") % 2 == 0))
+    pm.add_pipeline("page", lambda df: df)
+    processed, unrouted = pm.process(items)
+    return processed.groupBy("item_type").agg(
+        F.count("*").alias("cnt")
+    ).unionByName(
+        unrouted.groupBy().agg(F.count("*").alias("cnt")).select(
+            F.lit("__unrouted__").alias("item_type"), "cnt"
+        )
+    )
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _a_ivf_index(spark, sf):
+    # the PERSISTED IVF index (build once, probe many; partition-pruned
+    # probe) — must answer identically to the inline ivf_topk oracle
+    import tempfile
+
+    from ironspark.ann import IVFIndex
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    if sf not in _IVF_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="ironspark_ivf_")
+        IVFIndex.build(emb, path, n_centroids=8)
+        _IVF_INDEX_CACHE[sf] = path
+    idx = IVFIndex(spark, _IVF_INDEX_CACHE[sf])
+    return idx.search(_query_vec(spark, sf), k=10, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "m1_counter_sums": _m1_counter_sums,
@@ -563,6 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": _mm_metadata,
         "mm_frame_sample": _mm_frame_sample,
         "mm_feature": _mm_feature,
+        "f4_admission": _f4_admission,
+        "d5_redirects": _d5_redirects,
+        "m8_spider_counters": _m8_spider_counters,
+        "m9_scheduler_depth": _m9_scheduler_depth,
+        "i1_routing_counts": _i1_routing_counts,
+        "a_ivf_index": _a_ivf_index,
     }
 
 
@@ -880,5 +1028,65 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) / 255.0, 6) AS f0, "
             "ROUND(CAST(concat('0x', substr(md5(text), 15, 2)) AS INT) / 255.0, 6) AS f7 "
             "FROM documents"
+        ),
+        "f4_admission": (
+            "WITH g AS (SELECT user_id % 8 AS grp, COUNT(*) AS pending "
+            "FROM events GROUP BY 1) "
+            "SELECT grp, pending, COALESCE(SUM(pending) OVER (ORDER BY grp "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <= 5000 "
+            "AS admitted FROM g"
+        ),
+        "d5_redirects": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 2 THEN concat('http://', source, '.ex.com/m/', CAST(doc_id AS VARCHAR)) "
+            "ELSE concat('http://', source, '.ex.com/d/', CAST(doc_id AS VARCHAR)) END AS url_canon, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 404 ELSE 200 END AS INT) AS resp_status, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE octet_length(encode(text)) END AS BIGINT) AS bytes_resp "
+            "FROM documents"
+        ),
+        "m8_spider_counters": (
+            "WITH sp AS (SELECT unnest(generate_series(0, 3)) AS spider_id), "
+            "p AS (SELECT doc_id % 4 AS spider_id, COUNT(*) AS pending "
+            "FROM documents WHERE n_chars > 290 GROUP BY 1) "
+            "SELECT CAST(sp.spider_id AS BIGINT) AS spider_id, "
+            "CAST(COALESCE(p.pending, 0) AS BIGINT) AS pending, "
+            "COALESCE(p.pending, 0) = 0 AS closed "
+            "FROM sp LEFT JOIN p ON p.spider_id = sp.spider_id"
+        ),
+        "m9_scheduler_depth": (
+            "SELECT user_id, event_id, "
+            "CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE -1 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth "
+            "FROM events"
+        ),
+        "i1_routing_counts": (
+            "SELECT CASE WHEN doc_id % 3 = 0 THEN 'article' ELSE 'page' END AS item_type, "
+            "COUNT(*) AS cnt FROM documents "
+            "WHERE (doc_id % 3 = 0 AND doc_id % 2 = 0) OR doc_id % 3 = 1 GROUP BY 1 "
+            "UNION ALL "
+            "SELECT '__unrouted__' AS item_type, COUNT(*) AS cnt FROM documents "
+            "WHERE doc_id % 3 = 2"
+        ),
+        "a_ivf_index": (
+            # identical semantics to a_ivf_topk — the index persists the
+            # same deterministic assignment, probed with nprobe=2
+            "WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec "
+            "FROM embeddings WHERE vec_id < 8), "
+            "assign AS (SELECT vec_id, centroid_id FROM ("
+            "SELECT e.vec_id, c.centroid_id, "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) AS csim, "
+            "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            "ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC, c.centroid_id) AS rk "
+            "FROM embeddings e CROSS JOIN c) WHERE rk = 1), "
+            "probe AS (SELECT centroid_id FROM ("
+            "SELECT centroid_id, ROUND(list_cosine_similarity(cvec, "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS qsim "
+            "FROM c) ORDER BY qsim DESC, centroid_id LIMIT 2) "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim "
+            "FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id "
+            "JOIN probe p ON p.centroid_id = a.centroid_id "
+            "ORDER BY sim DESC, e.vec_id LIMIT 10"
         ),
     }

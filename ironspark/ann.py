@@ -102,6 +102,129 @@ def ivf_topk(
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops:
+    assignment = crossJoin vs BROADCAST centroids + window argmin;
+    update = posexplode + groupBy(cluster, dim) avg. Two row-sized
+    shuffles per iteration; centroids live driver-side (k x dim floats).
+    Deterministic: seeded by the first k vectors in vec_id order (the
+    same deterministic default ivf_assign uses), ties broken by id.
+    """
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        cdf = embeddings.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id int, cvec array<double>",
+        )
+        scored = embeddings.crossJoin(F.broadcast(cdf)).withColumn(
+            "csim", cosine_sim_col(F.col("embedding"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        assign = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "centroid_id", "embedding")
+        )
+        means = (
+            assign.select(
+                "centroid_id", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: s["m"]).alias("cvec"),
+            )
+            .collect()
+        )
+        got = {r["centroid_id"]: [float(x) for x in r["cvec"]] for r in means}
+        cents = [got.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+class IVFIndex:
+    """Persisted IVF index: build once, probe many.
+
+    ``build`` writes the corpus joined with its centroid assignment,
+    PARTITIONED BY centroid_id, plus the centroid table; ``search``
+    scores the (tiny) centroid table against the query, picks nprobe
+    cluster ids, and filters the partitioned scan on them — Spark's
+    partition pruning reads ONLY those clusters' files (assert via
+    the plan's PartitionFilters / selected-partition count). This is
+    the production shape the round-1 ivf_topk lacked (it recomputed
+    the assignment per query call).
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        n_centroids: int = 8,
+        kmeans_iters: int = 0,
+    ) -> "IVFIndex":
+        """kmeans_iters=0 keeps the deterministic first-k centroids
+        (oracle-friendly); >0 runs Lloyd iterations for real clusters."""
+        spark = embeddings.sparkSession
+        if kmeans_iters > 0:
+            cents = kmeans_centroids(embeddings, n_centroids, kmeans_iters)
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "centroid_id int, cvec array<double>",
+            )
+        else:
+            cdf = embeddings.orderBy("vec_id").limit(n_centroids).select(
+                F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("embedding").alias("cvec"),
+            )
+        scored = embeddings.crossJoin(F.broadcast(cdf)).withColumn(
+            "csim", cosine_sim_col(F.col("embedding"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "embedding", "centroid_id")
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/vectors"
+        )
+        cdf.write.mode("overwrite").parquet(f"{path}/centroids")
+        return cls(spark, path)
+
+    def search(self, query_vec: list[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cents = self.spark.read.parquet(f"{self.path}/centroids")
+        probe = [
+            int(r["centroid_id"])
+            for r in cents.withColumn("qsim", cosine_sim_col(F.col("cvec"), q))
+            .orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        ]
+        vecs = self.spark.read.parquet(f"{self.path}/vectors")
+        cluster = vecs.filter(F.col("centroid_id").isin(probe))
+        scored = cluster.select(
+            "vec_id", cosine_sim_col(F.col("embedding"), q).alias("sim")
+        )
+        return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+
+
 def knn_join_bruteforce(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
