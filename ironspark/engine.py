@@ -187,6 +187,8 @@ class CrawlEngine:
         # (bounded by hosts-with-cookies; shipped per wave as a
         # broadcast join).
         self._cookie_jar: dict[str, str] = {}
+        # per-wave persisted intermediates, released at wave end
+        self._wave_caches: list[DataFrame] = []
         self._bloom: ShardedBloom | None = None
         # column-pruned corpus view; the scan carries only what the
         # fetch join needs (url, html, warc_ts) — Catalyst would prune
@@ -205,14 +207,24 @@ class CrawlEngine:
     # -- seen-set backends ---------------------------------------------------
 
     def _filter_new(self, candidates: DataFrame, seen: DataFrame) -> DataFrame:
-        """Exact anti-join, optionally pruned by the incremental Bloom."""
+        """Exact anti-join, optionally pruned by the incremental Bloom.
+
+        ``tagged`` is persisted: the definite-new / maybe-seen split is a
+        UNION of two filters over it, and without the cache the whole
+        upstream candidate chain (dedup groupBy + Bloom UDF) executed
+        once per branch inside the same job (measured ~2x the dedup
+        phase). Released in the wave's unpersist sweep.
+        """
         if (
             self.cfg.seen_backend == "bloom"
             and self._bloom is not None
             and self._bloom.n_slices
         ):
             maybe_seen = self._bloom.maybe_seen_udf()
-            tagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_canon")))
+            tagged = candidates.withColumn(
+                "_maybe", maybe_seen(F.col("url_canon"))
+            ).persist()
+            self._wave_caches.append(tagged)
             definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
             confirm = (
                 tagged.filter(F.col("_maybe"))
@@ -588,12 +600,14 @@ class CrawlEngine:
                     consumed_rows = 0
             tr.mark("dedup+seq+frontier")
             next_seq += n_new
-            if cfg.dedup:
+            if cfg.dedup and n_new:  # nothing new -> no seen/bloom jobs
                 new_seen = io.read("frontier", wave + 1).filter(
                     F.col("wave") == wave + 1
                 )
                 io.write(new_seen.select("url_canon"), "seen", wave + 1)
-                self._bloom_add(new_seen)
+                # build the delta slice from the url-only seen parquet
+                # just written — a fraction of the frontier dir's bytes
+                self._bloom_add(io.read("seen", wave + 1))
                 tr.mark("seen+bloom")
 
             n_dedup = max(n_outlinks - n_new, 0)
@@ -660,9 +674,15 @@ class CrawlEngine:
                         "consumed_rows": consumed_rows,
                     }
                 )
-            for df in (selected, parse_out, *drain_seq_caches()):
+            for df in (
+                selected, parse_out, *drain_seq_caches(), *self._wave_caches
+            ):
                 df.unpersist()
+            self._wave_caches = []
 
+        for df in (*drain_seq_caches(), *self._wave_caches):
+            df.unpersist()  # caches from injections on terminal waves
+        self._wave_caches = []
         for sid, sp in self.spiders.items():
             if not cfg.track_spiders or sid not in closed_spiders:
                 sp.close()  # forced close at shutdown (manager.rs:208-237)

@@ -48,9 +48,17 @@ def with_global_seq(
     range-repartition by the order (distributed sort), per-partition
     row_number (parallel window), per-partition offsets via a tiny
     count-collect. No single-partition global window anywhere.
+
+    The INPUT is persisted first: repartitionByRange runs a range-
+    boundary SAMPLING job that executes its whole child plan — without
+    the cache the upstream (dedup groupBy + seen anti-join) ran twice
+    per wave (measured: the dedup+seq phase was flat across core counts
+    because of it).
     """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    d = df.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
+    src = df.persist()
+    _SEQ_CACHES.append(src)
+    d = src.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
     d = d.persist()

@@ -19,6 +19,20 @@ def human_number(n: float) -> str:
     return ("-" if neg else "") + s + _UNITS[i]
 
 
+_BYTE_UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
+
+
+def human_bytes(n: float) -> str:
+    """123456 -> '120.56 KiB' (reference Byte::get_appropriate_unit(
+    UnitType::Binary) formatting in src/downloader/stat.rs:77-81)."""
+    n = float(n)
+    i = 0
+    while n >= 1024 and i < len(_BYTE_UNITS) - 1:
+        n /= 1024.0
+        i += 1
+    return f"{int(n)} B" if i == 0 else f"{n:.2f} {_BYTE_UNITS[i]}"
+
+
 def human_duration(seconds: float) -> str:
     """93784s -> '1d 2h 3m 4s' (reference human_duration, src/utils.rs:3-27)."""
     s = int(seconds)
