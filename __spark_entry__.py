@@ -639,6 +639,41 @@ def _i1_routing_counts(spark, sf):
     )
 
 
+def _a_embed_simhash(spark, sf):
+    # SRP-LSH signature over embeddings (deterministic hyperplanes)
+    from ironspark.ann import embedding_simhash
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_simhash(emb, bits=12, dim=16)
+
+
+def _a_near_dup(spark, sf):
+    # embedding-cosine near-dup: SRP bucket join + exact cosine verify
+    from ironspark.ann import embedding_near_dup
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # bits=6 -> enough bucket collisions on the synthetic embeddings to
+    # exercise the verify stage (71 pairs at sf0.01), not a 0-row test
+    return embedding_near_dup(emb, bits=6, dim=16, threshold=0.3)
+
+
+def _srp_planes(bits: int = 12, dim: int = 16) -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:15], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -711,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
         "a_ivf_index": _a_ivf_index,
+        "a_embed_simhash": _a_embed_simhash,
+        "a_near_dup": _a_near_dup,
     }
 
 
@@ -746,6 +783,23 @@ _SIG_CTE = (
     "HAVING COUNT(*) > 1 AND COUNT(*) <= 50)"
     ", sigf AS (SELECT sig.* FROM sig JOIN small USING (band, minhash))"
 )
+
+
+def _srp_simhash_sql(bits: int = 12, dim: int = 16) -> str:
+    """SRP-LSH signature CTE: same deterministic hyperplanes as
+    ironspark.ann.embedding_simhash, inlined as literals."""
+    planes = _srp_planes(bits, dim)
+    terms = " + ".join(
+        "(CASE WHEN ROUND(list_dot_product(embedding[1:{d}]::DOUBLE[], "
+        "[{plane}]::DOUBLE[]), 6) > 0 THEN {w} ELSE 0 END)".format(
+            d=dim, plane=", ".join(repr(p) for p in planes[b]), w=1 << b
+        )
+        for b in range(bits)
+    )
+    return (
+        "WITH sig AS (SELECT vec_id, CAST(" + terms + " AS BIGINT) AS esimhash "
+        "FROM embeddings)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1067,6 +1121,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT '__unrouted__' AS item_type, COUNT(*) AS cnt FROM documents "
             "WHERE doc_id % 3 = 2"
+        ),
+        "a_embed_simhash": _srp_simhash_sql() + " SELECT vec_id, esimhash FROM sig",
+        "a_near_dup": (
+            _srp_simhash_sql(bits=6)
+            + ", small AS (SELECT esimhash FROM sig GROUP BY esimhash "
+            "HAVING COUNT(*) > 1 AND COUNT(*) <= 200), "
+            "sigf AS (SELECT sig.* FROM sig JOIN small USING (esimhash)), "
+            "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM sigf a JOIN sigf b USING (esimhash) WHERE a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, sim FROM (SELECT p.vec_a, p.vec_b, "
+            "ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim "
+            "FROM pairs p JOIN embeddings ea ON ea.vec_id = p.vec_a "
+            "JOIN embeddings eb ON eb.vec_id = p.vec_b) WHERE sim >= 0.3"
         ),
         "a_ivf_index": (
             # identical semantics to a_ivf_topk — the index persists the

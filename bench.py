@@ -36,9 +36,10 @@ _SF_PAGES = {"0.001": 2_000, "0.01": 12_000, "0.1": 60_000, "1": 400_000}
 
 QUERY_NAMES = [
     "q1_lineitem_agg", "x1_exchange_join", "f3_politeness_topk",
-    "p7_antijoin_dedup", "d2_status_filter", "t_exact_dedup",
-    "t_lsh_pairs", "t_simhash", "t_langid", "t_fingerprint",
-    "a_cosine_topk", "a_knn_join", "mm_metadata",
+    "p7_antijoin_dedup", "d2_status_filter", "d5_redirects",
+    "t_exact_dedup", "t_lsh_pairs", "t_simhash", "t_langid",
+    "t_fingerprint", "a_cosine_topk", "a_knn_join", "a_ivf_index",
+    "mm_metadata", "i1_routing_counts",
 ]
 
 

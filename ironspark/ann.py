@@ -102,6 +102,81 @@ def ivf_topk(
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
 
 
+def embedding_simhash(embeddings: DataFrame, bits: int = 12, dim: int = 16) -> DataFrame:
+    """Random-hyperplane LSH signature over an embedding column.
+
+    bit b = sign(dot(embedding[:dim], plane_b)) with DETERMINISTIC
+    hyperplanes p(b, d) = (md5num("b:d") % 2001 - 1000) / 1000 — no RNG,
+    reproducible across engines (the DuckDB oracle computes the same
+    planes). Vectors whose signatures collide are near-dup candidates:
+    the standard SRP-LSH for cosine similarity. Pure column arithmetic;
+    the plane table is compile-time literals (bits x dim).
+
+    Scale: one projection pass, no shuffle; the downstream bucket
+    groupBy shuffles only (vec_id, signature) rows.
+    """
+    def plane(b: int, d: int) -> float:
+        import hashlib
+
+        h = int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    emb = F.col("embedding")
+    packed = None
+    for b in range(bits):
+        dot = None
+        for d in range(dim):
+            term = F.element_at(emb, d + 1) * F.lit(plane(b, d))
+            dot = term if dot is None else dot + term
+        # round before the sign test: FP summation order may differ
+        # across engines, and a boundary flip would change the bucket
+        bit = F.when(F.round(dot, 6) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return embeddings.select("vec_id", packed.cast("long").alias("esimhash"))
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, bits: int = 12, dim: int = 16,
+    threshold: float = 0.9, max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH bucket join (same
+    signature -> candidate) + exact cosine verify >= threshold.
+
+    Scale: pair explosion is bounded per bucket (max_bucket guard, same
+    rationale as the text-LSH boilerplate guard); the exact verify runs
+    only on candidates, never all pairs.
+    """
+    sig = embedding_simhash(embeddings, bits, dim)
+    small = (
+        sig.groupBy("esimhash")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("esimhash")
+    )
+    sig = sig.join(F.broadcast(small), "esimhash")
+    a = sig.select("esimhash", F.col("vec_id").alias("vec_a"))
+    b = sig.select("esimhash", F.col("vec_id").alias("vec_b"))
+    pairs = (
+        a.join(b, "esimhash")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", cosine_sim_col(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame, k: int = 8, iters: int = 5
 ) -> list[list[float]]:

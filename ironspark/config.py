@@ -50,6 +50,9 @@ class EngineConfig:
     # released on compaction) — bounds both probe cost and executor
     # memory at max_slices + 1 bitsets.
     bloom_max_slices: int = 8
+    # cuckoo backend: hash-routed shard count (tables don't OR-merge,
+    # so deletable membership is sharded, not merged)
+    cuckoo_shards: int = 4
 
     # -- spider admission (src/spider/manager.rs:34-36) ----------------------
     scheduler_holding_threshold: int = 50

@@ -44,7 +44,7 @@ from ironspark.parse import parse_responses
 from ironspark.pipeline import PipelineManager
 from ironspark.politeness import robots_disallow_filter, select_wave
 from ironspark.schemas import SEEDS_SCHEMA
-from ironspark.seen import ShardedBloom
+from ironspark.seen import ShardedBloom, ShardedCuckoo
 from ironspark.spider import Spider
 
 _FRONTIER_COLS = [
@@ -189,7 +189,7 @@ class CrawlEngine:
         self._cookie_jar: dict[str, str] = {}
         # per-wave persisted intermediates, released at wave end
         self._wave_caches: list[DataFrame] = []
-        self._bloom: ShardedBloom | None = None
+        self._bloom: ShardedBloom | ShardedCuckoo | None = None
         # column-pruned corpus view; the scan carries only what the
         # fetch join needs (url, html, warc_ts) — Catalyst would prune
         # anyway, this makes it explicit and keeps text/lang out
@@ -216,7 +216,7 @@ class CrawlEngine:
         phase). Released in the wave's unpersist sweep.
         """
         if (
-            self.cfg.seen_backend == "bloom"
+            self.cfg.seen_backend in ("bloom", "cuckoo")
             and self._bloom is not None
             and self._bloom.n_slices
         ):
@@ -235,19 +235,59 @@ class CrawlEngine:
         return candidates.join(seen, "url_canon", "left_anti")
 
     def _bloom_add(self, new_urls: DataFrame) -> None:
-        """Add ONE delta slice from this wave's new urls. O(new) build,
-        one fixed-size broadcast; no merged-bitset re-broadcast, and
-        compaction releases superseded broadcasts (ShardedBloom)."""
-        if self.cfg.seen_backend != "bloom":
-            return
-        if self._bloom is None:
-            self._bloom = ShardedBloom(
-                self.spark,
-                self.cfg.bloom_capacity,
-                self.cfg.bloom_fpp,
-                self.cfg.bloom_max_slices,
-            )
-        self._bloom.add_delta(new_urls.select("url_canon"), "url_canon")
+        """Add this wave's new urls to the prune filter. bloom: ONE
+        delta slice, O(new) distributed build, one fixed-size broadcast
+        (ShardedBloom). cuckoo: driver-side fingerprint inserts into
+        hash-routed shards — the DELETABLE variant for re-crawl
+        invalidation (see invalidate_seen)."""
+        if self.cfg.seen_backend == "bloom":
+            if self._bloom is None:
+                self._bloom = ShardedBloom(
+                    self.spark,
+                    self.cfg.bloom_capacity,
+                    self.cfg.bloom_fpp,
+                    self.cfg.bloom_max_slices,
+                )
+            self._bloom.add_delta(new_urls.select("url_canon"), "url_canon")
+        elif self.cfg.seen_backend == "cuckoo":
+            if self._bloom is None:
+                self._bloom = ShardedCuckoo(
+                    self.spark,
+                    self.cfg.bloom_capacity,
+                    self.cfg.cuckoo_shards,
+                )
+            self._bloom.add_df(new_urls.select("url_canon"), "url_canon")
+
+    def invalidate_seen(self, run_dir: str, urls: list[str]) -> int:
+        """Re-crawl invalidation: remove urls from the seen set so they
+        can be enqueued again (the reference has no analog — its seen
+        set is the example spider's process-lifetime HashSet; this is
+        the north rule's 'cuckoo fallback for deletable entries').
+
+        Exactness: the seen TABLE is compacted minus the urls (one
+        rewrite). Prune state: cuckoo shards delete the fingerprints
+        (prune stays tight); a Bloom prune cannot unset bits, so it goes
+        stale-SAFE — a deleted url stays "maybe seen" and is re-admitted
+        by the exact confirm join, costing one join row, never
+        correctness. Returns the number of seen rows removed.
+        """
+        io = TableIO(self.spark, run_dir)
+        seen = io.read_all_waves("seen")
+        if seen is None or not urls:
+            return 0
+        url_df = F.broadcast(
+            self.spark.createDataFrame([(u,) for u in urls], "url_canon string")
+        )
+        removed = seen.join(url_df, "url_canon", "left_semi").count()
+        if removed:
+            tmp = os.path.join(run_dir, "_seen_rewrite")
+            kept = seen.join(url_df, "url_canon", "left_anti")
+            kept.write.mode("overwrite").parquet(os.path.join(tmp, "wave=0"))
+            shutil.rmtree(os.path.join(run_dir, "seen"))
+            os.replace(tmp, os.path.join(run_dir, "seen"))
+        if isinstance(self._bloom, ShardedCuckoo):
+            self._bloom.delete_urls(urls)
+        return removed
 
     # -- run ------------------------------------------------------------------
 
@@ -294,8 +334,8 @@ class CrawlEngine:
                 self._metrics_buf = [
                     r.asDict() for r in io.read("metrics").collect()
                 ]
-            if cfg.seen_backend == "bloom" and cfg.dedup:
-                # rebuild as one slice from the full seen table
+            if cfg.seen_backend in ("bloom", "cuckoo") and cfg.dedup:
+                # rebuild the prune filter from the full seen table
                 self._bloom_add(io.read("seen"))
         else:
             if os.path.isdir(run_dir):
@@ -337,7 +377,7 @@ class CrawlEngine:
                     "consumed_rows": 0,
                 }
             )
-            if cfg.seen_backend == "bloom" and cfg.dedup:
+            if cfg.seen_backend in ("bloom", "cuckoo") and cfg.dedup:
                 self._bloom_add(front0)
 
         def pending_view() -> DataFrame:

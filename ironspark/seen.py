@@ -256,6 +256,88 @@ class BloomSeen:
         return BloomSeen(merged, self.capacity, self.fpp)
 
 
+class ShardedCuckoo:
+    """Deletable URL-seen prune: K cuckoo shards keyed by h1 % K.
+
+    The north-rule fallback for DELETABLE entries (re-crawl
+    invalidation): Bloom bits can't be unset, so a deleted url would
+    stay "maybe seen" forever — harmless for exactness (the exact
+    anti-join re-admits it) but a permanent prune leak. Cuckoo
+    fingerprints delete cleanly, keeping the prune tight across
+    invalidations.
+
+    Cuckoo tables don't OR-merge, so they are SHARDED, not merged:
+    insert/lookup/delete route by h1(url) % K. Inserts and deletes are
+    driver-side (python loops over numpy tables — the jar-like state),
+    membership tests are vectorized per Arrow batch against the
+    broadcast shard tables. Same contract as ShardedBloom: prune only,
+    exact join confirms.
+    """
+
+    def __init__(self, spark, capacity: int, shards: int = 4):
+        self.spark = spark
+        self.shards = [CuckooFilter(max(capacity // shards, 1024))
+                       for _ in range(shards)]
+        self._bcast = None
+        self.n_broadcast = 0
+        self.n_unpersisted = 0
+
+    def _shard_of(self, url: str) -> CuckooFilter:
+        return self.shards[_hash128(url or "")[0] % len(self.shards)]
+
+    def add_urls(self, urls) -> None:
+        for u in urls:
+            self._shard_of(u).add(u)
+        self._invalidate_bcast()
+
+    def delete_urls(self, urls) -> list[str]:
+        """Remove urls from the prune set; returns those actually found."""
+        out = [u for u in urls if self._shard_of(u).delete(u)]
+        self._invalidate_bcast()
+        return out
+
+    def add_df(self, df: DataFrame, url_col: str = "url_canon") -> None:
+        self.add_urls([r[url_col] for r in df.select(url_col).collect()])
+
+    def _invalidate_bcast(self) -> None:
+        if self._bcast is not None:
+            self._bcast.unpersist()
+            self.n_unpersisted += 1
+            self._bcast = None
+
+    @property
+    def n_slices(self) -> int:  # ShardedBloom-compatible probe
+        return sum(1 for s in self.shards if s.size)
+
+    def maybe_seen_udf(self):
+        if self._bcast is None:
+            self._bcast = self.spark.sparkContext.broadcast(
+                [(s.nbuckets, s.table.tobytes()) for s in self.shards]
+            )
+            self.n_broadcast += 1
+        bcast = self._bcast
+        n_shards = len(self.shards)
+
+        def maybe_seen(urls: pd.Series) -> pd.Series:
+            tables = []
+            for nbuckets, raw in bcast.value:
+                cf = CuckooFilter(4)
+                cf.nbuckets = nbuckets
+                cf.table = np.frombuffer(raw, dtype=np.uint16).reshape(
+                    nbuckets, CuckooFilter.SLOTS
+                )
+                tables.append(cf)
+            out = np.zeros(len(urls), dtype=bool)
+            for i, u in enumerate(urls):
+                out[i] = tables[_hash128(u or "")[0] % n_shards].contains(u)
+            return pd.Series(out)
+
+        return F.pandas_udf(maybe_seen, "boolean")
+
+    def unpersist_all(self) -> None:
+        self._invalidate_bcast()
+
+
 # ---------------------------------------------------------------------------
 # Cuckoo filter: deletable membership (re-crawl invalidation)
 # ---------------------------------------------------------------------------

@@ -124,3 +124,16 @@ def test_politeness_budget_never_exceeded(spark, graph, tmp_path):
         budget = max(1, int(60.0 / delays[h]))
         assert n <= budget, f"host {h} wave {w}: {n} > budget {budget}"
         # within-host order is seq-ascending is implied by global seq sort
+
+
+def test_parity_dedup_cuckoo(spark, graph, tmp_path):
+    """Cuckoo backend (deletable prune) must also be byte-identical to
+    exact — same contract as Bloom: prune only, exact join confirms."""
+    eng, stats, ref, run_dir = _run_both(
+        spark, graph, tmp_path, dedup=True, seen_backend="cuckoo"
+    )
+    order = eng.crawl_order_df(run_dir).orderBy("seq", "wave").collect()
+    got = [(r.seq, r.wave, r.url_canon) for r in order]
+    assert got == sorted(ref.order)
+    seen = {r.url_canon for r in eng.seen_df(run_dir).collect()}
+    assert seen == ref.seen

@@ -239,3 +239,38 @@ def test_cookie_jar_round_trip(spark, tmp_path):
     assert by_wave[0] == base0
     base1 = len("GET") + 1 + len("/article/article/2") + 1 + 8 + 2 + 2
     assert by_wave[1] == base1 + cookie_bytes
+
+
+def test_invalidate_seen_recrawl(spark, tmp_path):
+    """Re-crawl invalidation (north rule: cuckoo fallback for deletable
+    entries): invalidated urls leave the seen set and are crawled again
+    on a resumed run; everything else stays deduped."""
+    pages = spark.createDataFrame(
+        pd.DataFrame(chain_pages("c0.example.com", 3)), PAGES_SCHEMA
+    )
+    head = "http://c0.example.com:5000/article/3"
+    mid = "http://c0.example.com:5000/article/article/2"
+    seeds = spark.createDataFrame(
+        pd.DataFrame([(1, head, 0)], columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    cfg = EngineConfig(dedup=True, seen_backend="cuckoo", max_waves=10,
+                       respect_robots=False, bloom_capacity=1 << 12)
+    run_dir = str(tmp_path / "recrawl")
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    stats = eng.run(seeds=seeds, run_dir=run_dir)
+    assert stats.items == 3
+
+    # invalidate head+mid; tail stays seen
+    eng2 = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    removed = eng2.invalidate_seen(run_dir, [head, mid])
+    assert removed == 2
+    g = spark.createDataFrame(
+        pd.DataFrame([(1, head, 0)], columns=["spider_id", "url", "seed_rank"]),
+        SEEDS_SCHEMA,
+    )
+    stats2 = eng2.run(run_dir=run_dir, resume=True, staged_seeds=[g])
+    items = eng2.items_df(run_dir).toPandas()
+    # 3 originals + head and mid re-crawled; tail deduped
+    assert len(items) == 5
+    assert stats2.items == 2
