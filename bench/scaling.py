@@ -25,7 +25,7 @@ Two throughput readings per run:
 * steady-state: the same ratio over the largest wave only — the unit
   that repeats ~indefinitely in a 10^10-URL crawl.
 
-Usage:  python bench/scaling.py [--pages 60000] [--repeats 3]
+Usage:  python bench/scaling.py [--pages 150000] [--repeats 3]
 Writes: BENCH/BASELINE.md, BENCH.md, BENCH_SCALING.json (repo root)
 """
 
@@ -163,7 +163,7 @@ def median_of(runs: list[dict], key: str) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=60_000)
+    ap.add_argument("--pages", type=int, default=150_000)
     ap.add_argument("--filler", type=int, default=600)
     ap.add_argument("--markup", type=int, default=2,
                     help="wrap every k-th filler word in an inline tag "
@@ -254,7 +254,7 @@ def main() -> None:
             f"round-robin x {args.repeats} reps, one fresh taskset-pinned "
             f"child per (rep, setting), JIT-warmup crawl inside each child; "
             f"figures are MEDIANS over equal repeat counts; all repeats + "
-            f"per-rep host steal%% disclosed below"
+            f"per-rep host steal% disclosed below"
         ),
         "pages": args.pages,
         "pairs": pairs,
@@ -302,7 +302,7 @@ per (rep, setting), each taskset-pinned to exactly its core budget,
 with a JIT-warmup crawl inside each child (excluded — long-lived
 executors on a real cluster are always warm). Interleaving matters on
 this host: it shows transient multi-minute contention episodes
-(recorded as per-rep steal%% in `BENCH_SCALING.json`), and round-robin
+(recorded as per-rep steal% in `BENCH_SCALING.json`), and round-robin
 spreads an episode across all settings instead of poisoning one
 setting's whole block. **All figures are medians over equal repeat
 counts** (round-1 advice: best-of-asymmetric-repeats biased the
@@ -331,9 +331,9 @@ pages/20, run to frontier-empty.
 {primary['efficiency_steady_state_clean_host']:.3f}.**
 
 "Clean host" pairs the rep with the least hypervisor steal per setting
-(per-rep steal%% is measured from /proc/stat and disclosed in
+(per-rep steal% is measured from /proc/stat and disclosed in
 BENCH_SCALING.json): this sandbox VM shows multi-minute host-contention
-episodes that slow individual reps up to ~40%% — medians bound the
+episodes that slow individual reps up to ~40% — medians bound the
 damage, the min-steal rep removes it, and on a dedicated cluster node
 the clean-host figure is the operative one.
 
@@ -342,10 +342,14 @@ The whole-run number carries the per-wave driver-serial turnaround
 wave regardless of cluster size); the steady-state number isolates the
 distributed work of the wave that dominates a long crawl — a 10^10-URL
 frontier is thousands of such waves. The secondary pair (8v32 on this
-single box) is hardware-bound: identical Python parse work costs ~4x
-the CPU-seconds at 32 workers (memory-bandwidth contention beside the
-JVM's Arrow streams — see docs/SCALE.md §measurements), which a real
-multi-machine cluster does not share.
+single box) is hardware-bound, not an engine property: in the cleanest
+reps 32 cores is SLOWER than 8 on the whole run — identical Python
+parse work costs ~4x the CPU-seconds at 32 workers (memory-bandwidth
+contention beside the JVM's Arrow streams; measured in round 1: 463
+CPU-s at 8 workers vs 2,135 at 32 for identical work, while plain
+multiprocessing without the JVM scales 2.7x on the same box — see
+docs/SCALE.md §measurements). A real 4x-executor cluster multiplies
+DRAM channels and disks along with cores; this box divides them.
 
 Raw JSON: `BENCH_SCALING.json`. Reproduce: `python bench/scaling.py`
 (this exact protocol, repeats included).
