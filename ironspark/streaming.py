@@ -47,6 +47,54 @@ def items_per_author_stream(
     )
 
 
+def running_author_counts_stream(spark: SparkSession, run_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    a running per-author item count that survives across triggers.
+
+    This is the arbitrary-state shape (GroupState) the brief calls for —
+    windowed aggs (items_per_author_stream) cover time-bucketed state;
+    this covers user-defined accumulators: the state schema is explicit,
+    updates are Arrow-batched per group, and Spark checkpoints the state
+    store between triggers (restart-safe).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    items = stream_items(spark, run_dir)
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        n += batch
+        state.update((n,))
+        yield pd.DataFrame(
+            {"author": [key[0]], "n_items": [n], "batch_items": [batch]}
+        )
+
+    return items.groupBy("author").applyInPandasWithState(
+        update,
+        "author string, n_items long, batch_items long",
+        "n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_once_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain the source into an in-memory table (update-mode sinks like
+    the stateful operator can't write parquet append)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(stream_df: DataFrame, out_dir: str) -> None:
     """Drain whatever is currently in the source (Trigger.AvailableNow)
     into a parquet sink — the batch-testable form of the live stream."""

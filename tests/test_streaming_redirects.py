@@ -83,3 +83,23 @@ def test_corpus_scan_column_pruning(spark):
         sched, pages.select("url", "html", "warc_ts")
     )._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.lower() or "ReadSchema" not in plan  # pruned
+
+
+def test_stateful_running_counts_stream(spark, run_dir):
+    """applyInPandasWithState: running per-author counts with explicit
+    GroupState, drained via AvailableNow into a memory sink."""
+    from ironspark.streaming import (
+        run_stream_once_memory,
+        running_author_counts_stream,
+    )
+
+    s = running_author_counts_stream(spark, run_dir)
+    run_stream_once_memory(s, "author_counts")
+    got = spark.sql(
+        "SELECT author, max(n_items) AS n FROM author_counts GROUP BY author"
+    ).toPandas()
+    # chain corpus: authors 'Author {n % 7}' for n in 1..3, one item per
+    # article per chain; 2 chains -> 2 items per author
+    assert dict(zip(got["author"], got["n"])) == {
+        "Author 1": 2, "Author 2": 2, "Author 3": 2,
+    }
