@@ -287,6 +287,12 @@ class CrawlEngine:
             os.replace(tmp, os.path.join(run_dir, "seen"))
         if isinstance(self._bloom, ShardedCuckoo):
             self._bloom.delete_urls(urls)
+            if removed:
+                # collision repair: a delete can zero a (fp, bucket)
+                # shared with a SURVIVING url (cuckoo false negative —
+                # would break exact dedup); re-insert such survivors
+                # from the rewritten seen table (seen.py docstring)
+                self._bloom.resync_after_delete(io.read("seen"))
         return removed
 
     # -- run ------------------------------------------------------------------

@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
+from ironspark.scan import scan_page
+
 _U32_MAX = 0xFFFFFFFF
 _NUM_RE = re.compile(r"\d+")
 
@@ -121,8 +123,14 @@ def decode_strict(body: bytes | None) -> str | None:
         return None
 
 
-def parse_article_html(html: str) -> tuple[str, str] | None:
-    """(title, author) per the reference extractor, or None."""
+def parse_article_html_spec(html: str) -> tuple[str, str] | None:
+    """Executable spec (html.parser tree): (title, author) or None.
+
+    The hot path is ``parse_article_html`` below (single-pass scanner);
+    tests/test_scan_parity.py asserts the two agree. This tree-based
+    version stays as the semantics definition — if they ever diverge on
+    exotic markup, THIS one is correct.
+    """
     builder = _TreeBuilder()
     try:
         builder.feed(html)
@@ -141,6 +149,20 @@ def parse_article_html(html: str) -> tuple[str, str] | None:
     return title, author_text
 
 
+def parse_article_html(html: str) -> tuple[str, str] | None:
+    """(title, author) per the reference extractor, or None.
+
+    Single-pass scanner fast path (ironspark.scan); byte-identical to
+    ``parse_article_html_spec`` (parity-tested)."""
+    article_text, author_text, _ = scan_page(html)
+    if article_text is None or author_text is None:
+        return None
+    article_text = article_text.strip()
+    author_text = author_text.strip()
+    title = article_text.replace(author_text, "").strip()
+    return title, author_text
+
+
 def extract_number(s: str) -> int | None:
     """First \\d+ parsed as u32; Rust parse semantics (ASCII, no overflow)."""
     m = _NUM_RE.search(s)
@@ -152,8 +174,8 @@ def extract_number(s: str) -> int | None:
     return int(digits)
 
 
-def article_text_of(html: str) -> str | None:
-    """Full trimmed article text (the byte-identity oracle column)."""
+def article_text_of_spec(html: str) -> str | None:
+    """Executable spec (html.parser tree) for article_text_of."""
     builder = _TreeBuilder()
     try:
         builder.feed(html)
@@ -164,6 +186,14 @@ def article_text_of(html: str) -> str | None:
     if article is None:
         return None
     return _text(article).strip()
+
+
+def article_text_of(html: str) -> str | None:
+    """Full trimmed article text (the byte-identity oracle column).
+
+    Single-pass scanner fast path, parity-tested against the spec."""
+    article_text, _, _ = scan_page(html)
+    return None if article_text is None else article_text.strip()
 
 
 def next_link(url: str, number: int) -> str | None:
@@ -188,8 +218,8 @@ class _LinkHarvester(HTMLParser):
                     break
 
 
-def harvest_links(html: str, base_url: str) -> list[str]:
-    """Absolute URLs of every <a href>, resolved RFC 3986 against base."""
+def harvest_links_spec(html: str, base_url: str) -> list[str]:
+    """Executable spec (html.parser) for harvest_links."""
     h = _LinkHarvester()
     try:
         h.feed(html)
@@ -205,6 +235,40 @@ def harvest_links(html: str, base_url: str) -> list[str]:
     return out
 
 
+def _resolve_links(hrefs: list[str], base_url: str) -> list[str]:
+    """RFC 3986 resolution with an already-absolute fast path.
+
+    urljoin returns an http(s) absolute href UNCHANGED when the base
+    scheme matches or differs (probed: no dot-segment normalization, no
+    re-encoding) — so lowercase-scheme absolute links skip the call
+    entirely. That is ~100% of links on real web-graph pages."""
+    out = []
+    for href in hrefs:
+        # empty-netloc hrefs ("http://", "http:///x") inherit the base
+        # netloc in urljoin — only a real host may skip the call
+        if href.startswith("http://"):
+            if len(href) > 7 and href[7] not in "/?#":
+                out.append(href)
+                continue
+        elif href.startswith("https://"):
+            if len(href) > 8 and href[8] not in "/?#":
+                out.append(href)
+                continue
+        try:
+            out.append(urljoin(base_url, href))
+        except ValueError:
+            continue
+    return out
+
+
+def harvest_links(html: str, base_url: str) -> list[str]:
+    """Absolute URLs of every <a href>, resolved RFC 3986 against base.
+
+    Single-pass scanner fast path, parity-tested against the spec."""
+    _, _, hrefs = scan_page(html)
+    return _resolve_links(hrefs, base_url)
+
+
 def parse_response(url: str, body: bytes | None):
     """Full ExampleSpider.parse contract for one response.
 
@@ -215,13 +279,15 @@ def parse_response(url: str, body: bytes | None):
     text = decode_strict(body)
     if text is None:
         return None, [], False, None
-    parsed = parse_article_html(text)
-    if parsed is None:
+    article_text, author_text, _ = scan_page(text)  # ONE pass
+    if article_text is None or author_text is None:
         return None, [], False, None
-    title, author = parsed
+    article_text = article_text.strip()
+    author_text = author_text.strip()
+    title = article_text.replace(author_text, "").strip()
     number = extract_number(title)
     if number is None:
         return None, [], False, None
     link = next_link(url, number)
     outlinks = [link] if link is not None else []
-    return (title, author, number), outlinks, True, article_text_of(text)
+    return (title, author_text, number), outlinks, True, article_text

@@ -1,0 +1,294 @@
+"""Single-pass HTML scanner — the hot-path extraction core.
+
+One linear scan per page replaces the three ``html.parser`` tree passes
+the spiders used to run (article parse + article text + link harvest),
+which profiling showed dominated crawl CPU (the 8v32 scaling ceiling:
+463 -> 2,135 parse CPU-seconds, BENCH_SCALING.json). The scanner keeps
+only a stack of open tag NAMES (no node objects) and emits exactly the
+three artifacts the spiders need:
+
+* text of the FIRST ``<article>`` element (all descendant text nodes in
+  document order, charrefs converted, script/style content raw),
+* text of that article's first DIRECT-child ``<author>`` element,
+* every non-empty ``<a href>`` value in document order.
+
+Token-level semantics are defined by ``ironspark.extract``'s
+``html.parser``-based implementations (kept there as the executable
+spec, ``*_spec``); tests/test_scan_parity.py asserts equality across
+the corpus grammar, the reference fixtures, adversarial inputs, and
+hypothesis-generated soup. Spec behaviors this mirrors (probed against
+CPython's HTMLParser with ``convert_charrefs=True``):
+
+* end tags pop to the INNERMOST matching open element (everything
+  above is discarded from the open stack, reference tree-builder
+  semantics) — a stray end tag with no open match is ignored;
+* void elements and ``<x/>`` self-closing tags never push;
+* ``<script>/<style>`` switch to CDATA mode: content up to the
+  matching end tag is ONE raw text node (no charref conversion, no tag
+  parsing); unterminated CDATA at EOF is dropped;
+* comments / ``<!...>`` declarations / ``<?...>`` PIs produce nothing;
+* a start tag whose attributes cannot be parsed (unmatched quote)
+  degrades to DATA up to and including the first ``>``;
+* ``<`` not opening a valid construct — including any construct left
+  unterminated at EOF — is emitted as the text ``"<"`` and scanning
+  resumes at the next character (HTMLParser's close() flush);
+* charrefs are converted in data and in href values (``html.unescape``,
+  which HTMLParser itself calls).
+
+Reference parity target: the extraction contract of
+``examples/basic_spider.rs:32-66`` (first <article>, direct-child
+<author>, descendant text in document order).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+# void elements never take children (mirrors extract._VOID)
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)")
+# the spec's own tolerant tag grammar — start-tag end location and
+# attribute parsing MUST match html.parser bit-for-bit, so use its
+# compiled module regexes directly (public module attributes since 3.x)
+from html.parser import attrfind_tolerant as _ATTR_RE  # noqa: E402
+from html.parser import locatestarttagend_tolerant as _LOCATE_RE  # noqa: E402
+from html.parser import tagfind_tolerant as _TAGFIND_RE  # noqa: E402
+
+_CDATA_END = {
+    "script": re.compile(r"</script(?=[\s/>])", re.I),
+    "style": re.compile(r"</style(?=[\s/>])", re.I),
+}
+
+# marked sections (<![CDATA[..]]>, <![if ..]>): _markupbase grammar
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_CLOSE = re.compile(r"]\s*]\s*>")   # cdata/temp/ignore/include/rcdata
+_MS_MSCLOSE = re.compile(r"]\s*>")     # if/else/endif (MS extension)
+_MS_BRACKET = {"cdata", "temp", "ignore", "include", "rcdata"}
+_MS_MS = {"if", "else", "endif"}
+
+
+class _SpecParseError(Exception):
+    """The spec parser RAISES on some junk (<![unknown]>); the tree
+    builders catch Exception and fail the whole parse — mirror that."""
+
+
+def scan_page(html: str) -> tuple[str | None, str | None, list[str]]:
+    """(article_text, author_text, hrefs) in one linear pass.
+
+    article_text is None when the document has no <article> element
+    (untrimmed otherwise); author_text is None when the first article
+    has no direct-child <author>. hrefs are raw (unescaped) values in
+    document order, empty values dropped.
+    """
+    try:
+        return _scan(html)
+    except _SpecParseError:
+        # spec tree builders catch feed() exceptions and fail the parse
+        return None, None, []
+
+
+def _scan(html: str) -> tuple[str | None, str | None, list[str]]:
+    i, n = 0, len(html)
+    stack: list[str] = []
+    art_idx = -1      # stack index of the open first article, -1 = not open
+    art_seen = False
+    art_parts: list[str] = []
+    auth_idx = -1
+    auth_seen = False
+    auth_parts: list[str] = []
+    hrefs: list[str] = []
+
+    def text(s: str, raw: bool = False) -> None:
+        # only article-descendant text is ever needed downstream
+        if art_idx >= 0 and s:
+            if not raw and "&" in s:
+                s = unescape(s)
+            art_parts.append(s)
+            if auth_idx >= 0:
+                auth_parts.append(s)
+
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            text(html[i:])
+            break
+        if lt > i:
+            text(html[i:lt])
+        c = html[lt + 1] if lt + 1 < n else ""
+        if c == "!" or c == "?":
+            if html.startswith("<![", lt):
+                # marked section: close at ]]> (or ]> for if/else/endif);
+                # unknown keyword raises in the spec -> whole parse fails
+                nm = _DECLNAME_RE.match(html, lt + 3)
+                cm = None
+                if nm is None:
+                    if lt + 3 < n:  # junk (non-EOF) name: spec raises
+                        raise _SpecParseError("marked section name")
+                    # EOF mid-construct: fall through to recovery
+                elif nm.end() >= n:
+                    pass  # name truncated by EOF: recovery
+                else:
+                    name = nm.group().strip().lower()
+                    if name in _MS_BRACKET:
+                        cm = _MS_CLOSE.search(html, lt + 3)
+                    elif name in _MS_MS:
+                        cm = _MS_MSCLOSE.search(html, lt + 3)
+                    else:
+                        raise _SpecParseError(f"marked section {name!r}")
+                if cm is not None:
+                    i = cm.end()
+                    continue
+                # unterminated: EOF recovery (data to first '>')
+                fgt = html.find(">", lt)
+                if fgt >= 0:
+                    text(html[lt:fgt + 1])
+                    i = fgt + 1
+                    continue
+                text("<")
+                i = lt + 1
+                continue
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                if end >= 0:
+                    i = end + 3
+                    continue
+                # unterminated comment degrades to data up to and
+                # including the FIRST '>', then parsing resumes (probed)
+                fgt = html.find(">", lt)
+                if fgt >= 0:
+                    text(html[lt:fgt + 1])
+                    i = fgt + 1
+                    continue
+            end = html.find(">", lt + 2)
+            if end >= 0:
+                i = end + 1
+                continue
+            text("<")  # unterminated at EOF: '<' is data, rest rescans
+            i = lt + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            if c == "/":
+                # bogus end tag (</>, </3...>): dropped to the next '>';
+                # with no '>', EOF recovery emits it as data
+                end = html.find(">", lt + 2)
+                if end >= 0:
+                    i = end + 1
+                else:
+                    nlt = html.find("<", lt + 1)
+                    text(html[lt:] if nlt < 0 else html[lt:nlt])
+                    i = n if nlt < 0 else nlt
+                continue
+            text("<")  # stray '<' is text; resume at the next char
+            i = lt + 1
+            continue
+        closing, name = m.group(1), m.group(2).lower()
+
+        if closing:
+            gt = html.find(">", m.end())
+            if gt < 0:
+                # unterminated end tag at EOF: '<' is data, rest rescans
+                text("<")
+                i = lt + 1
+                continue
+            i = gt + 1
+            for j in range(len(stack) - 1, -1, -1):
+                if stack[j] == name:
+                    del stack[j:]
+                    if auth_idx >= 0 and j <= auth_idx:
+                        auth_idx = -1
+                    if art_idx >= 0 and j <= art_idx:
+                        art_idx = -1
+                    break
+            continue
+
+        # start tag: locate the end with the spec's tolerant grammar
+        # (mirrors HTMLParser.check_for_whole_start_tag/parse_starttag)
+        j = _LOCATE_RE.match(html, lt).end()
+        if j < n and html[j] == ">":
+            endpos = j + 1
+        elif html.startswith("/>", j):
+            endpos = j + 2
+        else:
+            # incomplete / junk start tag: degrades to data up to and
+            # including the first '>'; with no '>', up to the next '<'
+            # (HTMLParser's goahead EOF recovery, probed)
+            fgt = html.find(">", lt + 1)
+            if fgt >= 0:
+                text(html[lt:fgt + 1])
+                i = fgt + 1
+            else:
+                nlt = html.find("<", lt + 1)
+                if nlt < 0:
+                    text(html[lt:])
+                    i = n
+                else:
+                    text(html[lt:nlt])
+                    i = nlt
+            continue
+
+        # attribute walk (spec attrfind_tolerant loop): needed both to
+        # validate the tag (junk remainder -> data) and for <a href>.
+        # tagfind consumes the name AND trailing ws/slashes (spec k)
+        k = _TAGFIND_RE.match(html, lt + 1).end()
+        href = None
+        want_href = name == "a"
+        while k < endpos:
+            am = _ATTR_RE.match(html, k)
+            if am is None:
+                break
+            if want_href and href is None and am.group(1).lower() == "href":
+                rest, v = am.group(2), am.group(3)
+                if rest and v:
+                    if v[:1] == "'" == v[-1:] or v[:1] == '"' == v[-1:]:
+                        v = v[1:-1]
+                    if v:
+                        # first NON-EMPTY href wins (spec harvester)
+                        href = unescape(v) if "&" in v else v
+            k = am.end()
+        end = html[k:endpos].strip()
+        if end not in (">", "/>"):
+            # junk in start tag: the whole tag text becomes data
+            text(html[lt:endpos])
+            i = endpos
+            continue
+        i = endpos
+        selfclose = end == "/>"
+        if href:
+            hrefs.append(href)
+
+        at = len(stack)
+        if name == "article" and not art_seen:
+            art_seen = True
+            if not selfclose:
+                stack.append(name)
+                art_idx = at
+            continue
+        if (
+            name == "author"
+            and not auth_seen
+            and art_idx >= 0
+            and at == art_idx + 1
+        ):
+            auth_seen = True
+            if not selfclose:
+                stack.append(name)
+                auth_idx = at
+            continue
+        if not selfclose and name not in _VOID:
+            stack.append(name)
+            if name in _CDATA_END:
+                cm = _CDATA_END[name].search(html, i)
+                if cm is None:
+                    # unterminated CDATA: content dropped (spec probe)
+                    break
+                text(html[i:cm.start()], raw=True)  # no charref conversion
+                i = cm.start()  # the end tag is parsed normally
+
+    article_text = "".join(art_parts) if art_seen else None
+    author_text = "".join(auth_parts) if auth_seen else None
+    return article_text, author_text, hrefs

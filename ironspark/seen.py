@@ -256,8 +256,36 @@ class BloomSeen:
         return BloomSeen(merged, self.capacity, self.fpp)
 
 
+# fp -> second-bucket hash, precomputed for the full 16-bit fingerprint
+# space (vectorized probe; matches CuckooFilter._fp_and_buckets exactly)
+_FPH: np.ndarray | None = None
+
+
+def _fp_hash_table() -> np.ndarray:
+    global _FPH
+    if _FPH is None:
+        t = np.empty(65536, dtype=np.uint64)
+        for fp in range(65536):
+            t[fp] = _hash128(str(fp))[0]
+        _FPH = t
+    return _FPH
+
+
+def _url_keys(urls: pd.Series, nshards: int, nbuckets: int):
+    """Vectorized (shard, fp, i1, i2) for a batch of urls."""
+    h1, h2 = _hash128_series(urls)
+    shard = (h1 % np.uint64(nshards)).astype(np.int64)
+    fp = (h1 & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1
+    i1 = (h2 % np.uint64(nbuckets)).astype(np.int64)
+    i2 = (
+        (i1.astype(np.uint64) ^ _fp_hash_table()[fp]) % np.uint64(nbuckets)
+    ).astype(np.int64)
+    return shard, fp, i1, i2
+
+
 class ShardedCuckoo:
-    """Deletable URL-seen prune: K cuckoo shards keyed by h1 % K.
+    """Deletable URL-seen prune: K hash-routed cuckoo shards × LSM slices.
 
     The north-rule fallback for DELETABLE entries (re-crawl
     invalidation): Bloom bits can't be unset, so a deleted url would
@@ -266,76 +294,302 @@ class ShardedCuckoo:
     fingerprints delete cleanly, keeping the prune tight across
     invalidations.
 
-    Cuckoo tables don't OR-merge, so they are SHARDED, not merged:
-    insert/lookup/delete route by h1(url) % K. Inserts and deletes are
-    driver-side (python loops over numpy tables — the jar-like state),
-    membership tests are vectorized per Arrow batch against the
-    broadcast shard tables. Same contract as ShardedBloom: prune only,
-    exact join confirms.
+    Scale shape mirrors ShardedBloom: each wave's new urls become ONE
+    immutable slice — K fixed-geometry shard tables built EXECUTOR-side
+    (`add_df` repartitions the slim url column by shard id and each
+    shard's table is assembled in one task; the driver receives K
+    fixed-size byte blobs, never urls) — broadcast once and never
+    re-sent. Membership is a fully vectorized numpy probe over the live
+    slices (hashes computed once per batch). Past ``max_slices`` the
+    slices are fingerprint-transplant-merged: an entry observed in
+    bucket b is re-inserted at b (the (i1, i2) pair is closed under
+    ``b ^ H(fp)``, so lookups stay valid) and superseded broadcasts are
+    released.
+
+    Exactness under saturation: cuckoo inserts can FAIL (table full
+    after MAX_KICKS). A failed insert — or a transplant overflow —
+    marks that (slice, shard) SATURATED and the probe answers True
+    ("maybe seen") for every url routed to it, so the exact anti-join
+    confirms instead of the prune skipping it. Bloom-style safety:
+    false positives cost a join row, false negatives are impossible.
+    Deletes are collision-safe via ``resync_after_delete`` (a colliding
+    (fp, bucket) of a surviving url is re-inserted from the seen
+    table). Same contract as ShardedBloom: prune only, exact join
+    confirms.
     """
 
-    def __init__(self, spark, capacity: int, shards: int = 4):
+    def __init__(self, spark, capacity: int, shards: int = 4,
+                 max_slices: int = 8):
         self.spark = spark
-        self.shards = [CuckooFilter(max(capacity // shards, 1024))
-                       for _ in range(shards)]
-        self._bcast = None
+        self.nshards = shards
+        self.max_slices = max_slices
+        # per-shard, per-slice geometry (fixed: slices must merge)
+        proto = CuckooFilter(max(capacity // shards, 1024))
+        self.nbuckets = proto.nbuckets
+        # slice = (Broadcast[(tables_bytes, sat_bytes)],
+        #          tables (K, nb, SLOTS) uint16, sat (K,) bool)
+        self._slices: list = []
         self.n_broadcast = 0
         self.n_unpersisted = 0
+        # (shard, fp, bucket) actually zeroed by the last delete_urls —
+        # consumed by resync_after_delete
+        self._removed_keys: list[tuple[int, int, int]] = []
 
-    def _shard_of(self, url: str) -> CuckooFilter:
-        return self.shards[_hash128(url or "")[0] % len(self.shards)]
+    # -- geometry helpers -----------------------------------------------------
+
+    def _shell(self, table: np.ndarray) -> CuckooFilter:
+        cf = CuckooFilter(4)
+        cf.nbuckets = self.nbuckets
+        cf.table = table
+        cf.size = int(np.count_nonzero(table))
+        return cf
+
+    def _empty_tables(self) -> np.ndarray:
+        return np.zeros(
+            (self.nshards, self.nbuckets, CuckooFilter.SLOTS), dtype=np.uint16
+        )
+
+    def _push_slice(self, tables: np.ndarray, sat: np.ndarray) -> None:
+        b = self.spark.sparkContext.broadcast(
+            (tables.tobytes(), sat.tobytes())
+        )
+        self.n_broadcast += 1
+        self._slices.append((b, tables, sat))
+        if len(self._slices) > self.max_slices:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Fingerprint-transplant merge of all slices into one."""
+        merged = self._empty_tables()
+        sat = np.zeros(self.nshards, dtype=bool)
+        for _, tables, s_sat in self._slices:
+            sat |= s_sat
+            for s in range(self.nshards):
+                if sat[s]:
+                    continue  # saturated shards never prune; skip work
+                shell = self._shell(merged[s])
+                src = tables[s]
+                for b, slot in zip(*np.nonzero(src)):
+                    if not shell.add_fp(int(src[b, slot]), int(b)):
+                        sat[s] = True
+                        break
+        for b_old, _, _ in self._slices:
+            b_old.unpersist()
+            self.n_unpersisted += 1
+        self._slices = []
+        self._push_slice(merged, sat)  # recurses at most once
+
+    # -- adds -----------------------------------------------------------------
 
     def add_urls(self, urls) -> None:
+        """Driver-side add (small seed batches / resync; one new slice)."""
+        urls = list(urls)
+        if not urls:
+            return
+        tables = self._empty_tables()
+        sat = np.zeros(self.nshards, dtype=bool)
+        shells = [self._shell(tables[s]) for s in range(self.nshards)]
         for u in urls:
-            self._shard_of(u).add(u)
-        self._invalidate_bcast()
-
-    def delete_urls(self, urls) -> list[str]:
-        """Remove urls from the prune set; returns those actually found."""
-        out = [u for u in urls if self._shard_of(u).delete(u)]
-        self._invalidate_bcast()
-        return out
+            s = _hash128(u or "")[0] % self.nshards
+            if not sat[s] and not shells[s].add(u):
+                sat[s] = True
+        self._push_slice(tables, sat)
 
     def add_df(self, df: DataFrame, url_col: str = "url_canon") -> None:
-        self.add_urls([r[url_col] for r in df.select(url_col).collect()])
+        """Distributed build: ONE job, urls shuffled by shard id, each
+        shard's table assembled executor-side; the driver collects K
+        fixed-size blobs (O(geometry), never O(urls))."""
+        K, nb = self.nshards, self.nbuckets
 
-    def _invalidate_bcast(self) -> None:
-        if self._bcast is not None:
-            self._bcast.unpersist()
+        def shard_of(urls: pd.Series) -> pd.Series:
+            h1, _ = _hash128_series(urls)
+            return pd.Series((h1 % np.uint64(K)).astype("int64"))
+
+        shard_udf = F.pandas_udf(shard_of, "long")
+
+        def build(batches):
+            shells: dict[int, CuckooFilter] = {}
+            sat: set[int] = set()
+            for pdf in batches:
+                for u in pdf["url"]:
+                    s = _hash128(u or "")[0] % K
+                    cf = shells.get(s)
+                    if cf is None:
+                        cf = CuckooFilter(4)
+                        cf.nbuckets = nb
+                        cf.table = np.zeros(
+                            (nb, CuckooFilter.SLOTS), dtype=np.uint16
+                        )
+                        cf.size = 0
+                        shells[s] = cf
+                    if s not in sat and not cf.add(u):
+                        sat.add(s)
+            if shells:
+                yield pd.DataFrame(
+                    {
+                        "shard": list(shells),
+                        "table": [cf.table.tobytes() for cf in shells.values()],
+                        "saturated": [s in sat for s in shells],
+                    }
+                )
+
+        rows = (
+            df.select(F.col(url_col).alias("url"))
+            .withColumn("_shard", shard_udf(F.col("url")))
+            .repartition(K, "_shard")
+            .mapInPandas(build, "shard long, table binary, saturated boolean")
+            .collect()
+        )
+        tables = self._empty_tables()
+        sat = np.zeros(self.nshards, dtype=bool)
+        for r in rows:
+            tables[r["shard"]] = np.frombuffer(
+                r["table"], dtype=np.uint16
+            ).reshape(self.nbuckets, CuckooFilter.SLOTS)
+            sat[r["shard"]] |= r["saturated"]
+        self._push_slice(tables, sat)
+
+    # -- deletes (rare: re-crawl invalidation) ---------------------------------
+
+    def delete_urls(self, urls) -> list[str]:
+        """Remove urls from the prune set; returns those actually found.
+
+        Mutates slice tables driver-side (deletions are small and rare
+        by design) and re-broadcasts only the touched slices. Records
+        the zeroed (shard, fp, bucket) keys so resync_after_delete can
+        re-insert colliding survivors.
+        """
+        self._removed_keys = []
+        found: list[str] = []
+        touched: set[int] = set()
+        for u in urls:
+            h1, h2 = _hash128(u or "")
+            s = h1 % self.nshards
+            fp = (h1 & 0xFFFF) or 1
+            i1 = int(h2 % self.nbuckets)
+            i2 = (i1 ^ int(_hash128(str(fp))[0])) % self.nbuckets
+            for idx in range(len(self._slices) - 1, -1, -1):
+                _, tables, _ = self._slices[idx]
+                hit = False
+                for b in (i1, i2):
+                    slots = np.flatnonzero(tables[s, b] == fp)
+                    if len(slots):
+                        tables[s, b, slots[0]] = 0
+                        self._removed_keys.append((s, fp, b))
+                        touched.add(idx)
+                        hit = True
+                        break
+                if hit:
+                    found.append(u)
+                    break
+        for idx in touched:
+            b_old, tables, sat = self._slices[idx]
+            b_old.unpersist()
             self.n_unpersisted += 1
-            self._bcast = None
+            b_new = self.spark.sparkContext.broadcast(
+                (tables.tobytes(), sat.tobytes())
+            )
+            self.n_broadcast += 1
+            self._slices[idx] = (b_new, tables, sat)
+        return found
+
+    def resync_after_delete(self, seen_df: DataFrame | None,
+                            url_col: str = "url_canon") -> int:
+        """Collision repair: a delete may have zeroed a (fp, bucket)
+        entry that ALSO represented a surviving url (16-bit fp + shared
+        bucket) — a cuckoo false negative that would break the exact-
+        dedup contract. Scan the surviving seen table for urls whose
+        keys collide with the zeroed entries and re-insert them.
+        O(seen) read per invalidation batch, O(collisions) writes —
+        deletions are rare, collisions rarer (P ≈ n/(65536·nbuckets)
+        per deleted key). Returns the number re-inserted."""
+        keys = self._removed_keys
+        self._removed_keys = []
+        if not keys or seen_df is None:
+            return 0
+        K, nb = self.nshards, self.nbuckets
+        key_arr = np.array(keys, dtype=np.int64)  # (m, 3): shard, fp, b
+
+        def at_risk(batches):
+            for pdf in batches:
+                urls = pdf[url_col]
+                if not len(urls):
+                    continue
+                shard, fp, i1, i2 = _url_keys(urls, K, nb)
+                m_shard = shard[:, None] == key_arr[None, :, 0]
+                m_fp = fp.astype(np.int64)[:, None] == key_arr[None, :, 1]
+                m_b = (i1[:, None] == key_arr[None, :, 2]) | (
+                    i2[:, None] == key_arr[None, :, 2]
+                )
+                mask = (m_shard & m_fp & m_b).any(axis=1)
+                if mask.any():
+                    yield pd.DataFrame({url_col: urls[mask]})
+
+        risky = [
+            r[url_col]
+            for r in seen_df.select(url_col).mapInPandas(
+                at_risk, f"{url_col} string"
+            ).collect()
+        ]
+        # only re-insert survivors that now test NEGATIVE (a zeroed key
+        # may still be covered by another slice)
+        missing = [u for u in risky if not self._contains_local(u)]
+        if missing:
+            self.add_urls(missing)
+        return len(missing)
+
+    def _contains_local(self, url: str) -> bool:
+        h1, h2 = _hash128(url or "")
+        s = h1 % self.nshards
+        fp = (h1 & 0xFFFF) or 1
+        i1 = int(h2 % self.nbuckets)
+        i2 = (i1 ^ int(_hash128(str(fp))[0])) % self.nbuckets
+        for _, tables, sat in self._slices:
+            if sat[s]:
+                return True
+            if (tables[s, i1] == fp).any() or (tables[s, i2] == fp).any():
+                return True
+        return False
+
+    # -- probe ------------------------------------------------------------------
 
     @property
     def n_slices(self) -> int:  # ShardedBloom-compatible probe
-        return sum(1 for s in self.shards if s.size)
+        return len(self._slices)
 
     def maybe_seen_udf(self):
-        if self._bcast is None:
-            self._bcast = self.spark.sparkContext.broadcast(
-                [(s.nbuckets, s.table.tobytes()) for s in self.shards]
-            )
-            self.n_broadcast += 1
-        bcast = self._bcast
-        n_shards = len(self.shards)
+        """Vectorized membership over the live slices: per batch, ONE
+        hash pass; per slice, two fancy-indexed table gathers + the
+        saturation override. Broadcast payloads ship to an executor at
+        most once."""
+        handles = [b for b, _, _ in self._slices]
+        K, nb = self.nshards, self.nbuckets
 
         def maybe_seen(urls: pd.Series) -> pd.Series:
-            tables = []
-            for nbuckets, raw in bcast.value:
-                cf = CuckooFilter(4)
-                cf.nbuckets = nbuckets
-                cf.table = np.frombuffer(raw, dtype=np.uint16).reshape(
-                    nbuckets, CuckooFilter.SLOTS
-                )
-                tables.append(cf)
+            if not handles or not len(urls):
+                return pd.Series(np.zeros(len(urls), dtype=bool))
+            shard, fp, i1, i2 = _url_keys(urls, K, nb)
+            fpc = fp[:, None]
             out = np.zeros(len(urls), dtype=bool)
-            for i, u in enumerate(urls):
-                out[i] = tables[_hash128(u or "")[0] % n_shards].contains(u)
+            for h in handles:
+                tab_raw, sat_raw = h.value
+                tables = np.frombuffer(tab_raw, dtype=np.uint16).reshape(
+                    K, nb, CuckooFilter.SLOTS
+                )
+                sat = np.frombuffer(sat_raw, dtype=bool)
+                out |= (tables[shard, i1] == fpc).any(axis=1)
+                out |= (tables[shard, i2] == fpc).any(axis=1)
+                if sat.any():
+                    out |= sat[shard]
             return pd.Series(out)
 
         return F.pandas_udf(maybe_seen, "boolean")
 
     def unpersist_all(self) -> None:
-        self._invalidate_bcast()
+        for b, _, _ in self._slices:
+            b.unpersist()
+            self.n_unpersisted += 1
+        self._slices = []
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +647,26 @@ class CuckooFilter:
                 self.size += 1
                 return True
         return False  # table full
+
+    def add_fp(self, fp: int, i: int) -> bool:
+        """Transplant insert: re-home a fingerprint observed at bucket i
+        of a SAME-GEOMETRY table (slice compaction). Valid because the
+        (i1, i2) bucket pair is closed under ``i ^ H(fp)`` — wherever
+        the entry sat in the source, i is one of the pair, so lookups
+        find it at i or i ^ H(fp) in the destination too."""
+        alt = (i ^ int(_hash128(str(fp))[0])) % self.nbuckets
+        if self._try_put(fp, i) or self._try_put(fp, alt):
+            self.size += 1
+            return True
+        j = i
+        for kick in range(self.MAX_KICKS):
+            slot = kick % self.SLOTS
+            fp, self.table[j][slot] = int(self.table[j][slot]), fp
+            j = (j ^ int(_hash128(str(fp))[0])) % self.nbuckets
+            if self._try_put(fp, j):
+                self.size += 1
+                return True
+        return False
 
     def contains(self, url: str) -> bool:
         fp, i1, i2 = self._fp_and_buckets(url)

@@ -14,13 +14,8 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from ironspark.extract import (
-    article_text_of,
-    decode_strict,
-    harvest_links,
-    parse_article_html,
-    parse_response,
-)
+from ironspark.extract import _resolve_links, decode_strict, parse_response
+from ironspark.scan import scan_page
 
 
 @dataclass
@@ -119,9 +114,14 @@ class LinkSpider(Spider):
             html = decode_strict(body)
             if html is None:
                 continue
-            parsed = parse_article_html(html)
-            if parsed is not None:
-                title, author = parsed
+            # ONE scanner pass yields article text, author, and hrefs
+            # (was three html.parser tree builds per page — the crawl's
+            # dominant Python CPU, see ironspark/scan.py docstring)
+            article_text, author_text, hrefs = scan_page(html)
+            if article_text is not None and author_text is not None:
+                article_text = article_text.strip()
+                author_text = author_text.strip()
+                title = article_text.replace(author_text, "").strip()
                 out["kind"].append("item")
                 out["spider_id"].append(spider_id)
                 out["parent_seq"].append(seq)
@@ -129,11 +129,11 @@ class LinkSpider(Spider):
                 out["out_url"].append(None)
                 out["item_type"].append(self.ITEM_TYPE)
                 out["title"].append(title)
-                out["author"].append(author)
+                out["author"].append(author_text)
                 out["number"].append(None)
                 out["src_url"].append(url)
-                out["text"].append(article_text_of(html))
-            for i, link in enumerate(harvest_links(html, url)):
+                out["text"].append(article_text)
+            for i, link in enumerate(_resolve_links(hrefs, url)):
                 out["kind"].append("request")
                 out["spider_id"].append(spider_id)
                 out["parent_seq"].append(seq)

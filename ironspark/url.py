@@ -43,8 +43,44 @@ def _norm_pct(s: str) -> str:
     return _PCT_RE.sub(repl, s)
 
 
+# already-canonical fast path: lowercase scheme+host, optional port, a
+# path of unreserved-safe chars, no query/fragment/userinfo/percent.
+# With no '.' in the path, canonicalize_url_spec is the identity on
+# these (no dot-segment pass, quote() is a no-op) — proven by
+# tests/test_url.py::test_fast_path_parity. At crawl steady state this
+# is ~100% of outlinks, skipping urlsplit/normpath/quote per URL.
+_FAST_CANON_RE = re.compile(
+    r"^(https?)://([a-z0-9-]+(?:\.[a-z0-9-]+)*)(:[1-9]\d*)?(/[A-Za-z0-9_~/-]*)$"
+)
+_DEFAULT_PORT = {("http", ":80"), ("https", ":443")}
+
+
 def canonicalize_url(url: str | None) -> str | None:
     """Canonical form of an absolute URL; None for unparseable input.
+
+    Fast path for already-canonical URLs; full normalization in
+    ``canonicalize_url_spec`` otherwise (identical output, parity-
+    tested)."""
+    if url is None:
+        return None
+    m = _FAST_CANON_RE.match(url)
+    if m is not None and (m.group(1), m.group(3)) not in _DEFAULT_PORT:
+        return url
+    return canonicalize_url_spec(url)
+
+
+def host_of(url: str | None) -> str | None:
+    """Lowercased registered host of a URL (politeness partition key)."""
+    if url is None:
+        return None
+    m = _FAST_CANON_RE.match(url)
+    if m is not None:
+        return m.group(2)
+    return host_of_spec(url)
+
+
+def canonicalize_url_spec(url: str | None) -> str | None:
+    """Full normalization (the spec path).
 
     scheme+host lowercase, default port dropped, percent-decode then
     re-encode (normalizes unreserved octets like %7E -> ~ and uppercases
@@ -93,8 +129,8 @@ def canonicalize_url(url: str | None) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
-def host_of(url: str | None) -> str | None:
-    """Lowercased registered host of a URL (politeness partition key)."""
+def host_of_spec(url: str | None) -> str | None:
+    """Lowercased registered host (spec path; see host_of fast path)."""
     if url is None:
         return None
     try:

@@ -1,0 +1,145 @@
+"""Scanner ≡ executable-spec parity (ironspark.scan vs html.parser tree).
+
+The single-pass scanner (ironspark/scan.py) replaced three
+html.parser passes in the crawl hot path. These tests pin it to the
+tree-based spec implementations retained in ironspark/extract.py
+(`*_spec`) — byte equality of article text, author/title, and the
+harvested link list — across the corpus grammar, hand-built
+adversarial markup, and randomized HTML-ish soup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ironspark.corpus import chain_pages, graph_page
+from ironspark.extract import (
+    article_text_of,
+    article_text_of_spec,
+    harvest_links,
+    harvest_links_spec,
+    parse_article_html,
+    parse_article_html_spec,
+)
+
+BASE = "http://h.example.com/dir/page/7"
+
+
+def assert_parity(html: str, base: str = BASE) -> None:
+    assert parse_article_html(html) == parse_article_html_spec(html), html
+    assert article_text_of(html) == article_text_of_spec(html), html
+    assert harvest_links(html, base) == harvest_links_spec(html, base), html
+
+
+CORPUS_GRAMMAR = [
+    # plain article + author + nav links (the graph_page shape)
+    '<article>Article 7<author>Author 3</author><p>w <b>x</b> y</p>'
+    '<a href="http://a.example.com/page/1">p1</a>'
+    '<a href="http://b.example.com/page/2">p2</a></article>',
+    # chain grammar
+    "<article>Article 4<author>Author 4</author></article>",
+    # missing author
+    "<article>Article 9 no author</article>",
+    # no article at all
+    '<div>plain<a href="./rel/link">r</a></div>',
+]
+
+ADVERSARIAL = [
+    "",
+    "plain text only",
+    "a < b > c",
+    "<div",
+    "<article>tail<b",
+    "<!-- unterminated",
+    "<?pi junk>t",
+    "<!decl>t",
+    "</>x",
+    "</3bogus>x",
+    '<a href="x>y">t</a>',
+    "<a href=unq>u</a>",
+    '<a data-href="n" href="y">t</a>',
+    '<a href="" href="second">t</a>',
+    "<a href href='later'>t</a>",
+    "<a HREF='CAP'>t</a>",
+    '<a href="A&amp;B">amp</a>',
+    '<!-- <a href="no"> -->z',
+    "<article>a &amp; b<script>x<b>&amp;</script>c</article>",
+    "<article>s<script>raw to eof",
+    "<article>a<script/>b</article>",
+    "<style>s{}</style><article>t<author>u</author></article>",
+    "<article>x</ARTICLE>y<article>second</article>",
+    "<ARTICLE>x<AUTHOR>a</AUTHOR></ARTICLE>",
+    "<article/>after",
+    "<article>a<author/>b</article>",
+    "<article>a<author></author>b</article>",
+    "<article>a<div><author>deep</author></div>b</article>",
+    "<article>a<div></div><author>direct-late</author>b</article>",
+    "<article>n1<article>n2<author>inner</author></article></article>",
+    "<div><article>a</div>b</article>",
+    "<div><article>text</div>more</article>",
+    "</article><article>x<author>y</author></article>",
+    "<article>a<br>b<img src=x>c</article>",
+    "<article>a<b/ >c</article>",
+    "<article>one</article><article>two<author>t2</author></article>",
+    "<article>&#65;&amp;&quot;</article>",
+    "<article>a<author>x</author>mid<author>second</author></article>",
+    '<a href="http://">empty-netloc</a>',
+    '<a href="http:///pathonly">e2</a>',
+    '<a href="https://">e3</a>',
+    '<a href="../up/one">rel</a>',
+    '<a href="./same">rel2</a>',
+    '<a href="//proto.example.com/x">protorel</a>',
+    '<a href="?q=1">qonly</a>',
+    '<a href="#frag">frag</a>',
+    "<article>unclosed author<author>to eof",
+    "<article>deep<div><div><div>x</div></div></div>end</article>",
+    "<article>a<author>b</author",
+    "<a><a href='x'>nested-a</a></a>",
+    "<article><p>p1<p>p2</article>",  # unclosed <p>s
+    "<script><article>inside cdata<author>n</author></article></script>"
+    "<article>real</article>",
+]
+
+
+@pytest.mark.parametrize("html", CORPUS_GRAMMAR + ADVERSARIAL)
+def test_fixture_parity(html):
+    assert_parity(html)
+
+
+def test_corpus_page_parity():
+    # every corpus-grammar variant incl. filler/markup-dense benchmark pages
+    for pid in list(range(0, 120)) + [991 + 7, 997 + 13, 991 * 2 + 7]:
+        page = graph_page(pid, 5000, 20, filler_words=120, markup_every=2)
+        html = page["html"]
+        try:
+            html = html.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        assert_parity(html, page["url"])
+    for page in chain_pages("c0.example.com", 6):
+        assert_parity(page["html"].decode("utf-8"), page["url"])
+
+
+_soup_atom = st.sampled_from(
+    [
+        "<article>", "</article>", "<author>", "</author>", "<div>",
+        "</div>", "<a href='", "<a href=\"", "'>", "\">", ">", "<", "&amp;",
+        "&#65;", "text ", "x", " ", "<br>", "<img>", "<script>", "</script>",
+        "<b/>", "</b>", "<!--", "-->", "<!", "<?", "http://h/x", "../r",
+        "<ARTICLE>", "</ARTICLE>", "href=", "=", "/", "\"", "'",
+    ]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_soup_atom, min_size=0, max_size=30))
+def test_random_soup_parity(atoms):
+    assert_parity("".join(atoms))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/ab &;#'\"=-!?", max_size=60))
+def test_random_text_parity(s):
+    assert_parity(s)
