@@ -429,6 +429,24 @@ def _t_fingerprint(spark, sf):
     return fingerprint(_t(spark, sf, "documents"))
 
 
+def _t_dup_ngrams(spark, sf):
+    from ironspark.textops import dup_ngram_ratio
+
+    return dup_ngram_ratio(_t(spark, sf, "documents"), n=5)
+
+
+def _t_vocab_topk(spark, sf):
+    from ironspark.textops import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=50)
+
+
+def _t_pii_scrub(spark, sf):
+    from ironspark.textops import pii_scrub
+
+    return pii_scrub(_t(spark, sf, "documents"))
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -748,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_ivf_index": _a_ivf_index,
         "a_embed_simhash": _a_embed_simhash,
         "a_near_dup": _a_near_dup,
+        "t_dup_ngrams": _t_dup_ngrams,
+        "t_vocab_topk": _t_vocab_topk,
+        "t_pii_scrub": _t_pii_scrub,
     }
 
 
@@ -756,6 +777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _MD5NUM_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# PII patterns (textops._PII_*) with SQL-literal quoting; identical
+# byte-for-byte so the oracle exercises the same regex dialect subset
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = r"\+?\d(?:[ -]?\d){7,}"
+_PII_IP_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 _WORDS_CTE = (
     "words AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
@@ -1010,6 +1037,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5, "
             + _MD5NUM_DUCK.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
             + " AS fp_num FROM documents"
+        ),
+        "t_dup_ngrams": (
+            "WITH wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 4, 0)), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+            ")) AS shingle FROM wl), "
+            "a AS (SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT shingle) AS n_distinct "
+            "FROM sh GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+            "CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct, "
+            "COALESCE(ROUND(1.0 - a.n_distinct * 1.0 / a.n_ngrams, 6), 0.0) AS dup_ratio "
+            "FROM documents d LEFT JOIN a USING (doc_id)"
+        ),
+        "t_vocab_topk": (
+            "WITH " + _WORDS_CTE + " SELECT word, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "t_pii_scrub": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '" + _PII_EMAIL_SQL + "')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(text, '" + _PII_PHONE_SQL + "')) AS BIGINT) AS n_phones, "
+            "CAST(len(regexp_extract_all(text, '" + _PII_IP_SQL + "')) AS BIGINT) AS n_ips, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'" + _PII_EMAIL_SQL + "', '<EMAIL>', 'g'), "
+            "'" + _PII_PHONE_SQL + "', '<PHONE>', 'g'), "
+            "'" + _PII_IP_SQL + "', '<IP>', 'g') AS clean_text "
+            "FROM documents"
         ),
         "a_cosine_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], "

@@ -6,11 +6,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Two parts:
-1. The headline crawl: full engine loop (politeness -> corpus-join fetch
-   -> Arrow parse -> Bloom-pruned dedup -> frontier) over a deterministic
-   synthetic Common-Crawl-weight page corpus sized by sf. Reported as
-   crawl seconds + the authoritative frontier-throughput metric
-   (urls_per_sec = scheduled+deduped per second).
+1. The headline crawl: full engine loop (politeness -> fetch -> Arrow
+   parse -> Bloom-pruned dedup -> frontier) over a deterministic
+   synthetic Common-Crawl-weight page corpus sized by sf. Measured
+   under the SAME discipline as bench/scaling.py (VERDICT r2 #1):
+   the process is CPU-affinity-pinned to exactly $SPARK_GRAFT_CPUS
+   cores BEFORE the JVM starts, one warmup crawl compiles the plan
+   shapes, then IRONSPARK_BENCH_REPS (default 3) full repetitions run
+   and the MEDIAN wall is reported, with per-rep wall and host steal%%
+   (/proc/stat) disclosed in the crawl block.
 2. Operator timings: headline queries() entries over the sf tables.
 
 The N-vs-4N scaling-efficiency evidence lives in bench/scaling.py
@@ -22,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -30,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("IRONSPARK_BENCH_CACHE", "/tmp/ironspark_bench")
+REPS = int(os.environ.get("IRONSPARK_BENCH_REPS", "3"))
 
 # crawl corpus sized by sf (sf0.1 -> 60k heavy pages, ~6KB html each)
 _SF_PAGES = {"0.001": 2_000, "0.01": 12_000, "0.1": 60_000, "1": 400_000}
@@ -52,7 +58,22 @@ def corpus_path(sf: str, n: int) -> str:
     return os.path.join(CACHE, f"pages_{sf}_{n}_td")
 
 
+def _cpu_times() -> tuple[int, int]:
+    with open("/proc/stat") as fh:
+        t = fh.readline().split()[1:]
+    v = list(map(int, t))
+    return sum(v), (v[7] if len(v) > 7 else 0)
+
+
 def main() -> None:
+    # pin BEFORE the JVM spawns: affinity is inherited by the Spark
+    # driver JVM and every python worker — same discipline as the
+    # taskset wrapper in bench/scaling.py
+    try:
+        os.sched_setaffinity(0, set(range(CPUS)))
+    except (OSError, AttributeError):
+        pass
+
     from ironspark.config import EngineConfig
     from ironspark.corpus import build_graph_corpus, graph_seeds
     from ironspark.engine import CrawlEngine
@@ -88,10 +109,13 @@ def main() -> None:
             mega_share=0.1, filler_words=600, markup_every=2,
         ).write.mode("overwrite").parquet(pdir)
     pages = spark.read.parquet(pdir)
-    seeds = spark.createDataFrame(
-        graph_seeds(n_pages, max(n_pages // 20, 10), n_hosts, mega_share=0.1),
-        SEEDS_SCHEMA,
-    )
+
+    def mk_seeds():
+        return spark.createDataFrame(
+            graph_seeds(n_pages, max(n_pages // 20, 10), n_hosts,
+                        mega_share=0.1),
+            SEEDS_SCHEMA,
+        )
 
     cfg = EngineConfig(
         dedup=True,
@@ -103,12 +127,46 @@ def main() -> None:
         default_crawl_delay=0.5,
         checkpoint_every=100,
     )
-    eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+
+    # -- warmup: compile wave plan shapes (excluded from timing) ------------
+    wu_cfg = EngineConfig(
+        dedup=True, seen_backend="bloom", max_waves=2, respect_robots=False,
+        wave_seconds=3600.0, default_crawl_delay=0.5, checkpoint_every=100,
+    )
+    wu_seeds = spark.createDataFrame(
+        graph_seeds(n_pages, 200, n_hosts, mega_share=0.1), SEEDS_SCHEMA
+    )
+    wu_dir = os.path.join(CACHE, "crawl_warmup")
+    shutil.rmtree(wu_dir, ignore_errors=True)
+    CrawlEngine(spark, pages, {1: LinkSpider()}, wu_cfg).run(
+        seeds=wu_seeds, run_dir=wu_dir
+    )
+
+    # -- measured reps -------------------------------------------------------
+    reps: list[dict] = []
+    stats = None
     run_dir = os.path.join(CACHE, "crawl_run")
-    shutil.rmtree(run_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    stats = eng.run(seeds=seeds, run_dir=run_dir)
-    crawl_s = time.monotonic() - t0
+    for rep in range(REPS):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+        tot0, st0 = _cpu_times()
+        t0 = time.monotonic()
+        stats = eng.run(seeds=mk_seeds(), run_dir=run_dir)
+        wall = time.monotonic() - t0
+        tot1, st1 = _cpu_times()
+        reps.append(
+            {
+                "wall_s": round(wall, 3),
+                "urls_per_sec": round(
+                    (stats.scheduled + stats.deduped) / wall, 1
+                ),
+                "host_steal_pct": round(
+                    100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2
+                ),
+            }
+        )
+    crawl_s = statistics.median(r["wall_s"] for r in reps)
+    crawl_ups = statistics.median(r["urls_per_sec"] for r in reps)
 
     # -- operator timings ---------------------------------------------------
     queries = entry_mod.queries()
@@ -116,7 +174,7 @@ def main() -> None:
     for name in QUERY_NAMES:
         t = time.monotonic()
         df = queries[name](spark, SF_DIR)
-        n = df.count()
+        df.count()
         q_times[name] = round(time.monotonic() - t, 3)
 
     total = round(crawl_s + sum(v for k, v in q_times.items() if k != "crawl"), 3)
@@ -134,7 +192,9 @@ def main() -> None:
             "items": stats.items,
             "outlinks": stats.outlinks,
             "seconds": round(crawl_s, 3),
-            "urls_per_sec": round(stats.urls_per_sec, 1),
+            "urls_per_sec": round(crawl_ups, 1),
+            "protocol": f"median of {REPS} pinned reps after warmup",
+            "reps": reps,
         },
         "cpus": CPUS,
     }

@@ -146,7 +146,10 @@ def embedding_near_dup(
     rationale as the text-LSH boilerplate guard); the exact verify runs
     only on candidates, never all pairs.
     """
-    sig = embedding_simhash(embeddings, bits, dim)
+    # persisted: consumed three times (bucket guard + both join sides);
+    # the cache is (vec_id, long) — tiny next to re-projecting bits x dim
+    # arithmetic over the embeddings scan per consumer
+    sig = embedding_simhash(embeddings, bits, dim).persist()
     small = (
         sig.groupBy("esimhash")
         .agg(F.count("*").alias("_n"))

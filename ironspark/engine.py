@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironspark.config import EngineConfig
-from ironspark.fetch import fetch_from_corpus
+from ironspark.fetch import fetch_from_corpus, http_fetch_stage
 from ironspark.frontier import (
     drain_seq_caches,
     enqueue_outlinks,
@@ -99,6 +99,31 @@ class CrawlStats:
         return (self.scheduled + self.deduped) / self.wall_s if self.wall_s else 0.0
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the session's
+    classpath (probe VERDICT r2 #5). The sandbox ships without it; a
+    real deployment adds iceberg-spark-runtime and the engine's state
+    tables transparently become real Iceberg tables."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFound
+        return False
+
+
+def make_table_io(spark: SparkSession, root: str) -> "TableIO":
+    """Backend chosen by probe: real Iceberg when the runtime jar is
+    present (or IRONSPARK_TABLE_BACKEND=iceberg), parquet-dir +
+    JSON-manifest otherwise. IRONSPARK_TABLE_BACKEND=parquet forces the
+    fallback even with the jar."""
+    pref = os.environ.get("IRONSPARK_TABLE_BACKEND", "auto")
+    if pref != "parquet" and (pref == "iceberg" or iceberg_available(spark)):
+        return IcebergTableIO(spark, root)
+    return TableIO(spark, root)
+
+
 class TableIO:
     """Parquet-dir snapshot store with a JSON manifest (Iceberg seam)."""
 
@@ -140,6 +165,17 @@ class TableIO:
             *[os.path.join(base, d) for d in sorted(os.listdir(base)) if d.startswith("wave=")]
         )
 
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def rewrite(self, df: DataFrame, name: str) -> None:
+        """Atomically replace a whole table (seen-set invalidation):
+        write aside, swap directories — a crash never tears the table."""
+        tmp = os.path.join(self.root, f"_{name}_rewrite")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "wave=0"))
+        shutil.rmtree(os.path.join(self.root, name))
+        os.replace(tmp, os.path.join(self.root, name))
+
     def manifest(self) -> dict | None:
         p = os.path.join(self.root, "manifest.json")
         if not os.path.exists(p):
@@ -153,6 +189,97 @@ class TableIO:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, p)  # atomic: a crash never leaves a torn manifest
+
+
+class IcebergTableIO(TableIO):
+    """TableIO on a REAL Iceberg hadoop catalog (jar present; see
+    make_table_io). The mapping docs/SCALE.md specifies, made concrete:
+
+    * one Iceberg table per state table (frontier, seen, items, order,
+      metrics, status, consumed, frontier_base), partitioned by the
+      hidden ``_wp`` wave column → ``read(name, wave)`` partition-prunes;
+    * per-wave write = append snapshot (delta segment);
+    * per-wave overwrite = dynamic partition overwrite on ``_wp``;
+    * seen rewrite (invalidation) = createOrReplace (RTAS);
+    * the engine's amortized frontier compaction corresponds to
+      ``rewrite_data_files`` — here it materializes the pending set
+      into the ``frontier_base`` table exactly as on parquet.
+
+    The JSON run manifest (next_wave/next_seq/segments/consumed) stays
+    file-based: it is ENGINE state spanning several tables, not table
+    state — each commit() still lands after the tables' own snapshot
+    commits, so a resume sees only fully-committed waves.
+    """
+
+    CATALOG = "ironspark_run"
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        wh = os.path.join(root, "_iceberg_warehouse")
+        spark.conf.set(
+            f"spark.sql.catalog.{self.CATALOG}",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.type", "hadoop")
+        spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.warehouse", wh)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.CATALOG}.state")
+
+    def _ident(self, name: str) -> str:
+        return f"{self.CATALOG}.state.{name}"
+
+    def _table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._ident(name))
+
+    @staticmethod
+    def _split_rel(relpath: str) -> tuple[str, int]:
+        name, _, wave = relpath.partition("/wave=")
+        return name, int(wave)
+
+    def _write(self, df: DataFrame, name: str, wave: int, mode: str) -> None:
+        df = df.withColumn("_wp", F.lit(int(wave)))
+        ident = self._ident(name)
+        if not self._table_exists(name):
+            df.writeTo(ident).using("iceberg").partitionedBy(
+                F.col("_wp")
+            ).create()
+        elif mode == "append":
+            df.writeTo(ident).append()
+        else:
+            df.writeTo(ident).overwritePartitions()
+
+    def write(self, df, name, wave=None, mode="overwrite"):
+        self._write(df, name, wave or 0, mode)
+
+    def write_rel(self, df, relpath, mode="overwrite"):
+        name, wave = self._split_rel(relpath)
+        self._write(df, name, wave, mode)
+
+    def read(self, name, wave=None):
+        t = self.spark.table(self._ident(name))
+        if wave is not None:
+            t = t.filter(F.col("_wp") == int(wave))
+        return t.drop("_wp")
+
+    def read_rel(self, relpaths):
+        parts = [self._split_rel(r) for r in relpaths]
+        out = None
+        for name, wave in parts:
+            df = self.read(name, wave)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def read_all_waves(self, name):
+        if not self._table_exists(name):
+            return None
+        return self.spark.table(self._ident(name)).drop("_wp")
+
+    def exists(self, name):
+        return self._table_exists(name)
+
+    def rewrite(self, df, name):
+        df.withColumn("_wp", F.lit(0)).writeTo(
+            self._ident(name)
+        ).using("iceberg").partitionedBy(F.col("_wp")).createOrReplace()
 
 
 class CrawlEngine:
@@ -192,8 +319,11 @@ class CrawlEngine:
         self._bloom: ShardedBloom | ShardedCuckoo | None = None
         # column-pruned corpus view; the scan carries only what the
         # fetch join needs (url, html, warc_ts) — Catalyst would prune
-        # anyway, this makes it explicit and keeps text/lang out
-        self._pages_view = pages.select("url", "html", "warc_ts")
+        # anyway, this makes it explicit and keeps text/lang out.
+        # pages may be None when fetch_strategy="http" (live fetch).
+        self._pages_view = (
+            pages.select("url", "html", "warc_ts") if pages is not None else None
+        )
 
     def _prepared_pages(self) -> DataFrame:
         return self._pages_view
@@ -271,7 +401,7 @@ class CrawlEngine:
         by the exact confirm join, costing one join row, never
         correctness. Returns the number of seen rows removed.
         """
-        io = TableIO(self.spark, run_dir)
+        io = make_table_io(self.spark, run_dir)
         seen = io.read_all_waves("seen")
         if seen is None or not urls:
             return 0
@@ -280,11 +410,8 @@ class CrawlEngine:
         )
         removed = seen.join(url_df, "url_canon", "left_semi").count()
         if removed:
-            tmp = os.path.join(run_dir, "_seen_rewrite")
             kept = seen.join(url_df, "url_canon", "left_anti")
-            kept.write.mode("overwrite").parquet(os.path.join(tmp, "wave=0"))
-            shutil.rmtree(os.path.join(run_dir, "seen"))
-            os.replace(tmp, os.path.join(run_dir, "seen"))
+            io.rewrite(kept, "seen")  # atomic swap / Iceberg RTAS
         if isinstance(self._bloom, ShardedCuckoo):
             self._bloom.delete_urls(urls)
             if removed:
@@ -315,9 +442,10 @@ class CrawlEngine:
         """
         cfg = self.cfg
         run_dir = run_dir or cfg.checkpoint_dir or tempfile.mkdtemp(prefix="ironspark_")
-        io = TableIO(self.spark, run_dir)
+        io = make_table_io(self.spark, run_dir)
         stats = CrawlStats(run_dir=run_dir)
         self._metrics_buf: list[dict] = []
+        self._status_buf: list[dict] = []
         t_start = time.monotonic()
 
         # Frontier state is MERGE-ON-READ (the Iceberg pattern on the
@@ -336,9 +464,13 @@ class CrawlEngine:
             consumed = man.get("consumed", [])
             consumed_rows = man.get("consumed_rows", 0)
             stats.deduped = man.get("deduped", 0)
-            if os.path.isdir(io.path("metrics")):
+            if io.exists("metrics"):
                 self._metrics_buf = [
                     r.asDict() for r in io.read("metrics").collect()
+                ]
+            if io.exists("status"):
+                self._status_buf = [
+                    r.asDict() for r in io.read("status").collect()
                 ]
             if cfg.seen_backend in ("bloom", "cuckoo") and cfg.dedup:
                 # rebuild the prune filter from the full seen table
@@ -346,7 +478,7 @@ class CrawlEngine:
         else:
             if os.path.isdir(run_dir):
                 shutil.rmtree(run_dir)
-            io = TableIO(self.spark, run_dir)
+            io = make_table_io(self.spark, run_dir)
             if isinstance(seeds, (list, tuple)):
                 import pandas as pd
 
@@ -526,10 +658,15 @@ class CrawlEngine:
             # InMemoryRelation -> Arrow path measured ~10x slower than
             # the live join.
             t0 = time.monotonic()
-            responses = fetch_from_corpus(
-                scheduled, self._prepared_pages(), self.redirects,
-                strategy=cfg.fetch_strategy,
-            )
+            if cfg.fetch_strategy == "http":
+                # live pooled-HTTP fetch (fetch.http_fetch_stage): same
+                # column contract, no pages table needed
+                responses = http_fetch_stage(scheduled, cfg)
+            else:
+                responses = fetch_from_corpus(
+                    scheduled, self._prepared_pages(), self.redirects,
+                    strategy=cfg.fetch_strategy,
+                )
             for hook in self.response_hooks:
                 responses = hook(responses)
             parse_out = parse_responses(responses, self.spiders, cfg).persist()
@@ -540,6 +677,15 @@ class CrawlEngine:
             # (tiny — one per partition) and flushed at commits.
             m = wave_metrics(wave, parse_out, 0, 0.0, 0.0)
             mrows = [r.asDict() for r in m.collect()]
+            # M2 status histogram persisted per wave (feeds the monitor's
+            # Status Codes pane, tui.rs:103-117): one narrow agg over the
+            # CACHED lineage rows — no rescan of the fetch join
+            self._status_buf.extend(
+                {"wave": wave, "resp_status": int(r["resp_status"]),
+                 "count": int(r["count"])}
+                for r in parse_out.filter(F.col("kind") == "resp")
+                .groupBy("resp_status").count().collect()
+            )
             t_fp_ms = (time.monotonic() - t0) * 1000  # fetch+parse wall
             n_sched = sum(r["scheduled"] for r in mrows)
             n_failed = sum(r["failed"] for r in mrows)
@@ -762,20 +908,26 @@ class CrawlEngine:
         pdf = pd.DataFrame(self._metrics_buf)[[f.name for f in METRICS_SCHEMA.fields]]
         df = self.spark.createDataFrame(pdf, METRICS_SCHEMA)
         df.coalesce(1).write.mode("overwrite").parquet(io.path("metrics"))
+        if self._status_buf:
+            sdf = self.spark.createDataFrame(
+                pd.DataFrame(self._status_buf),
+                "wave int, resp_status int, count long",
+            )
+            sdf.coalesce(1).write.mode("overwrite").parquet(io.path("status"))
 
     # -- result accessors ------------------------------------------------------
 
     def items_df(self, run_dir: str) -> DataFrame | None:
-        return TableIO(self.spark, run_dir).read_all_waves("items")
+        return make_table_io(self.spark, run_dir).read_all_waves("items")
 
     def crawl_order_df(self, run_dir: str) -> DataFrame | None:
-        return TableIO(self.spark, run_dir).read_all_waves("order")
+        return make_table_io(self.spark, run_dir).read_all_waves("order")
 
     def metrics_df(self, run_dir: str) -> DataFrame | None:
-        io = TableIO(self.spark, run_dir)
-        if not os.path.isdir(io.path("metrics")):
+        io = make_table_io(self.spark, run_dir)
+        if not io.exists("metrics"):
             return None
         return io.read("metrics")
 
     def seen_df(self, run_dir: str) -> DataFrame:
-        return TableIO(self.spark, run_dir).read("seen")
+        return make_table_io(self.spark, run_dir).read("seen")

@@ -179,17 +179,156 @@ def split_accepted(
     return accepted, retry, exhausted
 
 
-def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Live-HTTP fetch variant (same column contract as fetch_from_corpus).
+_HTTP_OUT_SCHEMA = (
+    "url_canon string, url string, host string, spider_id long, seq long, "
+    "attempt int, method string, headers map<string,string>, body string, "
+    "body_bytes binary, warc_ts timestamp, resp_status int, set_cookie string"
+)
+_MAX_REDIRECTS = 10  # reqwest's default redirect Policy (downloader.rs:52)
 
-    Would run pooled HTTP inside mapInPandas (one connection pool per
-    executor task, politeness already enforced upstream). Deliberately
-    stubbed in this sandbox: no network, and determinism is the point
-    of the corpus join. Reference behavior it would mirror:
-    downloader.rs:152-226 (timeouts, UA, redirect-following).
+
+def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Live-HTTP fetch: pooled http.client inside ONE mapInPandas pass.
+
+    Same column contract as ``fetch_from_corpus`` so the parse stage is
+    oblivious to the strategy (engine selects via
+    ``cfg.fetch_strategy == "http"``). Mirrors the reference client
+    (``src/downloader/downloader.rs:43-76``: UA, connect/request
+    timeouts, redirect following; ``:152-226``: dispatch with the
+    request's real method/headers/body):
+
+    * one connection pool per task, keyed by (host, port) — politeness
+      is already enforced upstream, so per-partition sequential
+      requests respect the scheduled budget;
+    * redirects followed up to 10 hops; ``url`` becomes the FINAL url
+      (``src/response.rs:10``) and ``url_canon`` is recanonicalized;
+    * ``Set-Cookie`` response headers are harvested into ``set_cookie``
+      (the engine folds them into its per-host jar);
+    * transport errors map onto the reference's error classes
+      (timeout -> 408, connect/other -> 503 — both retryable and
+      classified by ``error_class_expr``);
+    * wire-size columns (bytes_req/bytes_resp) use the SAME expressions
+      as the corpus path (Request::size, src/request.rs:18-47).
     """
-    raise NotImplementedError(
-        "live HTTP fetch is out of scope in the sandbox; use fetch_from_corpus"
+    import http.client as _hc
+    import socket
+    from urllib.parse import urlsplit, urljoin
+
+    from ironspark.url import canonicalize_series, host_series
+
+    ua = cfg.user_agent
+    timeout = max(
+        cfg.downloader_request_timeout_s, cfg.downloader_connect_timeout_s
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        pool: dict[tuple[str, str, int], _hc.HTTPConnection] = {}
+
+        def conn_for(scheme: str, host: str, port: int) -> _hc.HTTPConnection:
+            key = (scheme, host, port)
+            c = pool.get(key)
+            if c is None:
+                cls = _hc.HTTPSConnection if scheme == "https" else _hc.HTTPConnection
+                c = cls(host, port, timeout=timeout)
+                pool[key] = c
+            return c
+
+        def one(url, method, headers, body):
+            """-> (final_url, status, body_bytes, set_cookie)."""
+            method = method or "GET"
+            hdrs = dict(headers) if headers else {}
+            hdrs.setdefault("user-agent", ua)
+            cur = url
+            for _hop in range(_MAX_REDIRECTS + 1):
+                parts = urlsplit(cur)
+                host = parts.hostname or ""
+                port = parts.port or (443 if parts.scheme == "https" else 80)
+                path = parts.path or "/"
+                if parts.query:
+                    path += "?" + parts.query
+                payload = body.encode("utf-8") if body else None
+                try:
+                    c = conn_for(parts.scheme, host, port)
+                    try:
+                        c.request(method, path, body=payload, headers=hdrs)
+                        r = c.getresponse()
+                    except (_hc.HTTPException, ConnectionError, BrokenPipeError):
+                        # stale pooled connection: recreate once
+                        c.close()
+                        pool.pop((parts.scheme, host, port), None)
+                        c = conn_for(parts.scheme, host, port)
+                        c.request(method, path, body=payload, headers=hdrs)
+                        r = c.getresponse()
+                    data = r.read()
+                    cookies = r.headers.get_all("Set-Cookie")
+                    set_cookie = "; ".join(cookies) if cookies else None
+                    if r.status in (301, 302, 303, 307, 308):
+                        loc = r.headers.get("Location")
+                        if loc and _hop < _MAX_REDIRECTS:
+                            cur = urljoin(cur, loc)
+                            if r.status == 303:
+                                method, body, payload = "GET", None, None
+                            continue
+                    return cur, r.status, data if data else None, set_cookie
+                except socket.timeout:
+                    return cur, 408, None, None
+                except OSError:
+                    return cur, 503, None, None
+            return cur, 508, None, None  # redirect loop exhausted
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            finals, statuses, bodies, cookies = [], [], [], []
+            for url, method, headers, body in zip(
+                pdf["url"], pdf["method"], pdf["headers"], pdf["body"]
+            ):
+                f, s, b, ck = one(url, method, headers, body)
+                finals.append(f)
+                statuses.append(s)
+                bodies.append(b)
+                cookies.append(ck)
+            out = pdf[
+                ["spider_id", "seq", "attempt", "method", "headers", "body"]
+            ].copy()
+            out["url"] = finals
+            out["url_canon"] = canonicalize_series(pd.Series(finals))
+            out["host"] = host_series(pd.Series(finals))
+            out["body_bytes"] = bodies
+            out["warc_ts"] = None
+            out["resp_status"] = statuses
+            out["set_cookie"] = cookies
+            yield out[
+                [
+                    "url_canon", "url", "host", "spider_id", "seq", "attempt",
+                    "method", "headers", "body", "body_bytes", "warc_ts",
+                    "resp_status", "set_cookie",
+                ]
+            ]
+
+        for c in pool.values():
+            c.close()
+
+    slim = scheduled.select(
+        "url_canon", "url", "host", "spider_id", "seq", "attempt",
+        "method", "headers", "body",
+    )
+    fetched = slim.mapInPandas(run, _HTTP_OUT_SCHEMA)
+    path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return fetched.withColumn(
+        "bytes_req",
+        (
+            F.length("method")
+            + F.length(path)
+            + F.lit(_REQ_OVERHEAD)
+            + _headers_bytes()
+            + F.coalesce(F.length("body"), F.lit(0))
+        ).cast("long"),
+    ).withColumn(
+        "bytes_resp", F.coalesce(F.length("body_bytes"), F.lit(0)).cast("long")
     )
 
 

@@ -117,28 +117,30 @@ def render_dashboard(stats, pending_count: int = 0,
         f"{human_number(stats.urls_per_sec)} urls/s"
     ).center(44)
     out = [header]
-    for p in panes:
-        out += _pane(
-            ["Spider Manager Stats", "Scheduler Stats",
-             "Downloader Stats", "Pipeline Manager Stats"][panes.index(p)],
-            p,
-        )
+    titles = ["Spider Manager Stats", "Scheduler Stats",
+              "Downloader Stats", "Pipeline Manager Stats"]
+    for title, p in zip(titles, panes):  # zip: content-equal panes keep
+        out += _pane(title, p)           # their own titles
     return "\n".join(out)
 
 
 def render_run(spark, run_dir: str) -> str:
     """Dashboard for a (possibly still running) crawl directory: reads
     the flushed metrics table + manifest — the live-monitor entry point."""
-    import json
-    import os
+    from ironspark.engine import CrawlStats, make_table_io
 
-    from ironspark.engine import CrawlStats, TableIO
-
-    io = TableIO(spark, run_dir)
+    io = make_table_io(spark, run_dir)
     man = io.manifest() or {}
     stats = CrawlStats(run_dir=run_dir)
     status_counts: dict[int, int] = {}
-    if os.path.isdir(io.path("metrics")):
+    if io.exists("status"):
+        # per-wave HTTP status histogram flushed by the engine (M2)
+        s = io.read("status").toPandas()
+        status_counts = {
+            int(k): int(v)
+            for k, v in s.groupby("resp_status")["count"].sum().items()
+        }
+    if io.exists("metrics"):
         m = io.read("metrics").toPandas()
         agg = m[m["partition_id"] >= 0]
         stats.scheduled = int(agg["scheduled"].sum())
@@ -172,3 +174,33 @@ def render_run(spark, run_dir: str) -> str:
             pending = 0
     return render_dashboard(stats, pending_count=pending,
                             status_counts=status_counts)
+
+
+def watch(spark, run_dir: str, interval_s: float = 2.0,
+          iterations: int | None = None, out=None) -> int:
+    """`watch`-style live refresh: re-render the dashboard from the
+    flushed metrics/status tables every ``interval_s`` until the run's
+    manifest says done (or ``iterations`` renders, for tests/CI). The
+    reference's ratatui draw loop (src/monitor/tui.rs:61-78) reduced to
+    a pure poll-and-print — resilient to mid-write table dirs (the
+    engine flushes at checkpoint boundaries). Returns renders done."""
+    import sys
+    import time as _time
+
+    from ironspark.engine import TableIO
+
+    out = out or sys.stdout
+    n = 0
+    while iterations is None or n < iterations:
+        try:
+            txt = render_run(spark, run_dir)
+        except Exception as e:  # noqa: BLE001 — table dir mid-write
+            txt = f"(run dir not readable yet: {e})"
+        print(f"\033[2J\033[H{txt}" if out is sys.stdout else txt, file=out)
+        n += 1
+        man = TableIO(spark, run_dir).manifest() or {}
+        if man.get("done"):
+            break
+        if iterations is None or n < iterations:
+            _time.sleep(interval_s)
+    return n

@@ -53,10 +53,38 @@ _VOID = frozenset(
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)")
 # the spec's own tolerant tag grammar — start-tag end location and
 # attribute parsing MUST match html.parser bit-for-bit, so use its
-# compiled module regexes directly (public module attributes since 3.x)
-from html.parser import attrfind_tolerant as _ATTR_RE  # noqa: E402
-from html.parser import locatestarttagend_tolerant as _LOCATE_RE  # noqa: E402
-from html.parser import tagfind_tolerant as _TAGFIND_RE  # noqa: E402
+# compiled module regexes directly; fall back to verbatim copies of the
+# CPython 3.11 definitions if a future stdlib renames the internals
+try:  # noqa: SIM105
+    from html.parser import attrfind_tolerant as _ATTR_RE  # noqa: E402
+    from html.parser import (  # noqa: E402
+        locatestarttagend_tolerant as _LOCATE_RE,
+    )
+    from html.parser import tagfind_tolerant as _TAGFIND_RE  # noqa: E402
+except ImportError:  # pragma: no cover — pinned stdlib in this container
+    _ATTR_RE = re.compile(
+        r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+        r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
+    )
+    _LOCATE_RE = re.compile(
+        r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+         (?:\s*,)*                   # possibly followed by a comma
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+        re.VERBOSE,
+    )
+    _TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 
 _CDATA_END = {
     "script": re.compile(r"</script(?=[\s/>])", re.I),

@@ -139,7 +139,12 @@ def lsh_candidate_pairs(
     signal, and its pairs would dominate the join). The bucket-size
     filter is one extra hash aggregation, broadcast back.
     """
-    sig = minhash_signatures(documents, bands, k)
+    # persist the signatures: they are consumed THREE times (bucket-size
+    # guard + both self-join branches) and each scan would otherwise
+    # re-run the dominant shingle explode over the full corpus. The
+    # cached table is docs x bands rows — tiny next to its input (at
+    # 100 TB you would write it out, like the persisted IVF index).
+    sig = minhash_signatures(documents, bands, k).persist()
     small = (
         sig.groupBy("band", "minhash")
         .agg(F.count("*").alias("_n"))
@@ -162,8 +167,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact word-set Jaccard for candidate pairs (LSH verify step)."""
-    w = _words(documents).distinct()
+    """Exact word-set Jaccard for candidate pairs (LSH verify step).
+
+    The distinct word set feeds THREE consumers (both pair sides + the
+    doc-size agg) — persisted so the words explode runs once."""
+    w = _words(documents).distinct().persist()
     wa = w.select(F.col("doc_id").alias("doc_a"), "word")
     wb = w.select(F.col("doc_id").alias("doc_b"), "word")
     inter = (
@@ -297,4 +305,77 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp_md5"),
         _md5num(norm).alias("fp_num"),
+    )
+
+
+def dup_ngram_ratio(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Gopher-style intra-document repetition: the fraction of n-gram
+    OCCURRENCES that are duplicates (1 - distinct/total over word
+    n-grams; Rae et al. 2021 "duplicate n-grams" quality rule family).
+
+    Scale: reuses the shingle machinery — one explode + one
+    groupBy(doc_id) with two parallel aggregates (count /
+    count_distinct); shuffle moves (doc_id, shingle) rows once. Docs
+    shorter than n words score 0.0.
+    """
+    sh = _shingles(documents, n)
+    agg = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce(
+                F.round(1.0 - F.col("n_distinct") / F.col("n_ngrams"), 6),
+                F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency (stopword /
+    vocab derivation pass). One explode + one hash groupBy with
+    map-side combine; the ORDER BY sees only the aggregated vocab,
+    never token occurrences. Ties break bytewise on the word."""
+    return (
+        _words(documents)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )
+
+
+# cross-engine (Java regex / RE2) PII patterns: character classes +
+# greedy quantifiers only — no lookaround, no backreferences
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d(?:[ -]?\d){7,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction (C4/Dolma-style pipeline pass): emails, phone
+    numbers, IPv4 literals replaced by typed tokens, with per-doc match
+    counts. Pure JVM regexp projection — one pass, no shuffle, no
+    Python. Replacement order (email -> phone -> ip) is part of the
+    contract: an email is never half-eaten by the phone rule."""
+    t = F.col("text")
+    clean = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, _PII_PHONE, "<PHONE>")
+    clean = F.regexp_replace(clean, _PII_IP, "<IP>")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        clean.alias("clean_text"),
     )

@@ -112,3 +112,53 @@ def test_cosine_topk_and_ivf(spark):
     assert set(knn["query_id"]) == {0, 1}
     assert (knn.groupby("query_id").size() == 3).all()
     assert (knn[knn["rank"] == 1]["sim"] == 1.0).all()  # self is nearest
+
+
+def test_pii_scrub_goldens(spark):
+    from ironspark.textops import pii_scrub
+
+    rows = [
+        (1, "mail me at john.doe+x@example.co.uk or call +1 555-123-4567."),
+        (2, "server at 10.0.0.1 and 192.168.001.255; port 8080 is fine"),
+        (3, "no pii here, just words and the number 42"),
+        (4, "a@b.io a@b.io twice, phone 12345678 and ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "john.doe" not in got[1]["clean_text"]
+    assert "<EMAIL>" in got[1]["clean_text"] and "<PHONE>" in got[1]["clean_text"]
+    assert got[2]["n_ips"] == 2 and got[2]["clean_text"].count("<IP>") == 2
+    assert "8080" in got[2]["clean_text"]  # bare port is not PII
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["n_emails"] == 2 and got[4]["n_phones"] == 1
+    assert got[4]["n_ips"] == 1
+
+
+def test_dup_ngram_ratio_goldens(spark):
+    from ironspark.textops import dup_ngram_ratio
+
+    rows = [
+        (1, "a b c d e a b c d e"),       # 6 5-grams, dup "a b c d e" x2
+        (2, "one two three four five six"),  # 2 distinct 5-grams
+        (3, "too short"),                  # < 5 words -> 0 ngrams, 0.0
+        (4, "w w w w w w w w"),            # all 4 occurrences identical
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in dup_ngram_ratio(df, n=5).collect()}
+    assert got[1]["n_ngrams"] == 6 and got[1]["n_distinct"] == 5
+    assert got[2]["dup_ratio"] == 0.0
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_ratio"] == 0.0
+    assert got[4]["n_ngrams"] == 4 and got[4]["n_distinct"] == 1
+    assert got[4]["dup_ratio"] == 0.75
+
+
+def test_vocab_topk_order(spark):
+    from ironspark.textops import vocab_topk
+
+    rows = [(1, "b b b a a c"), (2, "a c c"), (3, "d B")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = [(r["word"], r["n"]) for r in vocab_topk(df, k=3).collect()]
+    # b: 4 (case-folded), a: 3, c: 3 (tie broken bytewise a < c)
+    assert got == [("b", 4), ("a", 3), ("c", 3)]
