@@ -54,6 +54,7 @@ from ironspark.spider import LinkSpider
 M = {cores}
 N = {pages}
 REPEATS = {repeats}
+FETCH = {fetch!r}
 
 def _cpu_times():
     with open("/proc/stat") as fh:
@@ -65,8 +66,16 @@ MARKUP = {markup}
 HOSTS = max(N // 100, 20)
 PDIR = {pdir!r}
 
+_conf = {{"spark.sql.optimizer.runtime.bloomFilter.enabled": "false"}}
+if FETCH == "shuffle":
+    # pure shuffled fetch join: without this AQE would convert the
+    # small post-shuffle side back to a DRIVER-BUILT broadcast — the
+    # exact serial cost the shuffle strategy exists to avoid. Explicit
+    # F.broadcast() hints elsewhere (retry keys, robots, cookie jar)
+    # still broadcast: hints override the threshold.
+    _conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
 spark = get_spark("scaling-%d" % M, master="local[%d]" % M, shuffle_partitions=M,
-                  extra_conf={{"spark.sql.optimizer.runtime.bloomFilter.enabled": "false"}})
+                  extra_conf=_conf)
 spark.sparkContext.setLogLevel("ERROR")
 
 if not os.path.isdir(PDIR):
@@ -80,7 +89,7 @@ cfg = EngineConfig(dedup=True, seen_backend="bloom",
                    bloom_capacity=max(2 * N, 1 << 16),
                    max_waves=12, respect_robots=False,
                    wave_seconds=3600.0, default_crawl_delay=0.5,
-                   checkpoint_every=100)
+                   checkpoint_every=100, fetch_strategy=FETCH)
 
 # warmup: compile the wave plan shapes (excluded from timing)
 wu_seeds = spark.createDataFrame(
@@ -131,10 +140,10 @@ for rep in range(REPEATS):
 
 def run_child(
     cores: int, pages: int, repeats: int, filler: int, pdir: str,
-    pin: bool = True, markup: int = 0,
+    pin: bool = True, markup: int = 0, fetch: str = "broadcast",
 ) -> list[dict]:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, repeats=repeats,
-                        filler=filler, pdir=pdir, markup=markup)
+                        filler=filler, pdir=pdir, markup=markup, fetch=fetch)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:
@@ -170,7 +179,14 @@ def main() -> None:
                          "(tag-dense pages, the realistic CPU profile)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--settings", type=int, nargs="+", default=[2, 8, 32])
-    ap.add_argument("--pin", action="store_true", default=True)
+    ap.add_argument("--fetch-strategy", default="broadcast",
+                    choices=["broadcast", "shuffle"],
+                    help="fetch join strategy for the child config. "
+                         "broadcast = the real-crawl regime (wave << "
+                         "corpus). shuffle = the BFS-benchmark regime "
+                         "(wave ~ corpus), avoiding the O(wave) "
+                         "driver-serial broadcast build that caps "
+                         "measured scaling on saturation benchmarks")
     ap.add_argument("--no-pin", dest="pin", action="store_false")
     args = ap.parse_args()
 
@@ -198,6 +214,7 @@ def main() -> None:
             runs = run_child(
                 cores, args.pages, 1, args.filler, pdir,
                 pin=args.pin, markup=args.markup,
+                fetch=args.fetch_strategy,
             )
             runs[0]["rep"] = rep
             all_runs[cores].append(runs[0])

@@ -25,6 +25,7 @@ import os
 import shutil
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -39,7 +40,7 @@ from ironspark.frontier import (
     prepare_candidates,
     seeds_to_frontier,
 )
-from ironspark.metrics import wave_metrics
+from ironspark.metrics import rollup_wave_metrics, wave_metrics_fine
 from ironspark.parse import parse_responses
 from ironspark.pipeline import PipelineManager
 from ironspark.politeness import robots_disallow_filter, select_wave
@@ -446,6 +447,10 @@ class CrawlEngine:
         stats = CrawlStats(run_dir=run_dir)
         self._metrics_buf: list[dict] = []
         self._status_buf: list[dict] = []
+        # independent sink writes (order, items) run as concurrent Spark
+        # actions so file I/O overlaps the wave's compute; drained at
+        # each wave's end before commits/unpersist (see wave loop)
+        io_pool = ThreadPoolExecutor(max_workers=2)
         t_start = time.monotonic()
 
         # Frontier state is MERGE-ON-READ (the Iceberg pattern on the
@@ -643,11 +648,23 @@ class CrawlEngine:
                     )
                     .drop("_cookie")
                 )
-            io.write(
-                scheduled.select("seq", "url_canon").withColumn("wave", F.lit(wave)),
-                "order",
-                wave,
-            )
+            # order/items are INDEPENDENT sinks: submit them on the I/O
+            # pool so they overlap the wave's compute (the driver-serial
+            # turnaround between actions was measured as the 2v8 scaling
+            # drag once parse got fast — docs/SCALE.md #17). Futures are
+            # drained before this wave's unpersist sweep, so every
+            # overlapped write reads live caches; manifest commits only
+            # happen after the drain.
+            wave_writes = [
+                io_pool.submit(
+                    io.write,
+                    scheduled.select("seq", "url_canon").withColumn(
+                        "wave", F.lit(wave)
+                    ),
+                    "order",
+                    wave,
+                )
+            ]
             tr.mark("schedule+order")
 
             # fetch + parse (S3/D1-D5, P1-P9): the corpus join output
@@ -675,16 +692,16 @@ class CrawlEngine:
             # parse_out (the wave's heavy job) and yields every counter
             # the rest of the wave needs. Rows are buffered driver-side
             # (tiny — one per partition) and flushed at commits.
-            m = wave_metrics(wave, parse_out, 0, 0.0, 0.0)
-            mrows = [r.asDict() for r in m.collect()]
-            # M2 status histogram persisted per wave (feeds the monitor's
-            # Status Codes pane, tui.rs:103-117): one narrow agg over the
-            # CACHED lineage rows — no rescan of the fetch join
+            # ONE collect serves both the per-partition metrics rows and
+            # the M2 status histogram (monitor Status Codes pane,
+            # tui.rs:103-117): the agg runs at (partition, status) grain
+            # and rolls up driver-side — one fewer job in the wave's
+            # serial budget (metrics.wave_metrics_fine docstring)
+            fine = wave_metrics_fine(parse_out).collect()
+            mrows, status_counts = rollup_wave_metrics(fine, wave, 0, 0.0, 0.0)
             self._status_buf.extend(
-                {"wave": wave, "resp_status": int(r["resp_status"]),
-                 "count": int(r["count"])}
-                for r in parse_out.filter(F.col("kind") == "resp")
-                .groupBy("resp_status").count().collect()
+                {"wave": wave, "resp_status": s, "count": c}
+                for s, c in sorted(status_counts.items())
             )
             t_fp_ms = (time.monotonic() - t0) * 1000  # fetch+parse wall
             n_sched = sum(r["scheduled"] for r in mrows)
@@ -723,7 +740,7 @@ class CrawlEngine:
                 # M7 pipeline counter (manager.rs:96-98): items whose
                 # item_type has no chain are counted, not silently lost
                 n_unrouted = unrouted.count()
-            io.write(items, "items", wave)
+            wave_writes.append(io_pool.submit(io.write, items, "items", wave))
             tr.mark("items")
 
             # outlinks (already canonicalized in-pass) -> self-dedup ->
@@ -771,8 +788,15 @@ class CrawlEngine:
             else:
                 segments = segments + [f"frontier/wave={wave + 1}"]
                 # tombstones: the PRE-hook scheduled keys leave pending
-                # (a hook-dropped request is consumed, never retried)
-                io.write(selected.select("seq", "attempt"), "consumed", wave)
+                # (a hook-dropped request is consumed, never retried).
+                # Overlapped like the other independent sinks; the next
+                # pending_view read happens after the wave-end drain.
+                wave_writes.append(
+                    io_pool.submit(
+                        io.write, selected.select("seq", "attempt"),
+                        "consumed", wave,
+                    )
+                )
                 consumed = consumed + [f"consumed/wave={wave}"]
                 consumed_rows += n_sched
                 pending_next = max(pending_count - n_sched + n_retried + n_new, 1)
@@ -785,6 +809,11 @@ class CrawlEngine:
                     # base segment, drop the tombstones. O(backlog), but
                     # triggered only when tombstones dominate or the
                     # segment list grows — O(1) amortized per row.
+                    # pending_view reads the consumed tombstones written
+                    # above: drain the overlapped writes first.
+                    for fut in wave_writes:
+                        fut.result()
+                    wave_writes = []
                     base_rel = f"frontier_base/wave={wave + 1}"
                     io.write_rel(pending_view(), base_rel)
                     segments = [base_rel]
@@ -828,6 +857,10 @@ class CrawlEngine:
             else:
                 pending_count = pending_count - n_sched + n_retried + n_new
             if cfg.track_spiders:
+                # pending_view reads this wave's consumed tombstones:
+                # drain the overlapped writes first (no-op if done)
+                for fut in wave_writes:
+                    fut.result()
                 nxt = pending_view()
                 spider_pending = {
                     int(r["spider_id"]): r["cnt"]
@@ -851,6 +884,12 @@ class CrawlEngine:
             # lineage evidence that frontier writes are O(wave), not
             # O(backlog): rows written to the wave's delta segment
             stats.wave_frontier_rows.append(n_retried + n_new)
+
+            # drain overlapped sink writes BEFORE any commit (a manifest
+            # must never point past unwritten data) and before the
+            # unpersist sweep (the writes read this wave's caches)
+            for fut in wave_writes:
+                fut.result()
 
             wave += 1
             stats.waves = wave
@@ -894,6 +933,7 @@ class CrawlEngine:
                 "done": True,
             }
         )
+        io_pool.shutdown(wait=True)
         stats.wall_s = time.monotonic() - t_start
         return stats
 

@@ -27,6 +27,73 @@ def _conform(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+_SUM_COLS = [
+    "scheduled", "fetched", "failed", "retried", "parsed", "dropped",
+    "items", "outlinks", "bytes_req", "bytes_resp",
+]
+
+
+def wave_metrics_fine(parse_out: DataFrame) -> DataFrame:
+    """ONE aggregation per wave at (partition_id, resp_status) grain.
+
+    Serves BOTH consumers of wave lineage — the per-partition metrics
+    rows AND the per-status histogram (monitor M2) — from a single
+    collect (the histogram used to be its own job per wave; at ~96
+    grouped rows the extra grain is free, the saved job launch is not).
+    Item/request rows land in the null-status group of their partition
+    and roll up normally.
+    """
+    is_resp = F.col("kind") == "resp"
+    ok = F.col("accepted")
+    return parse_out.groupBy("partition_id", "resp_status").agg(
+        F.sum(is_resp.cast("long")).alias("scheduled"),
+        F.sum((is_resp & ok).cast("long")).alias("fetched"),
+        F.sum((is_resp & ~ok).cast("long")).alias("failed"),
+        F.sum((is_resp & F.col("retryable")).cast("long")).alias("retried"),
+        F.sum((is_resp & F.col("accepted")).cast("long")).alias("parsed"),
+        F.sum((is_resp & ok & ~F.col("routed")).cast("long")).alias("dropped"),
+        F.sum((F.col("kind") == "item").cast("long")).alias("items"),
+        F.sum((F.col("kind") == "request").cast("long")).alias("outlinks"),
+        F.sum(F.when(is_resp, F.col("bytes_req")).otherwise(0)).alias("bytes_req"),
+        F.sum(F.when(is_resp, F.col("bytes_resp")).otherwise(0)).alias("bytes_resp"),
+    )
+
+
+def rollup_wave_metrics(
+    fine_rows,
+    wave: int,
+    deduped_count: int,
+    t_fetch_ms: float,
+    t_parse_ms: float,
+) -> tuple[list[dict], dict[int, int]]:
+    """(metrics rows per METRICS_SCHEMA incl. the -1 rollup row,
+    {resp_status: count}) from the fine collect — pure driver-side
+    arithmetic over ~partitions x statuses rows."""
+    per_part: dict[int, dict] = {}
+    status_counts: dict[int, int] = {}
+    for r in fine_rows:
+        p = int(r["partition_id"])
+        d = per_part.setdefault(p, {c: 0 for c in _SUM_COLS})
+        for c in _SUM_COLS:
+            d[c] += int(r[c] or 0)
+        if r["resp_status"] is not None and r["scheduled"]:
+            s = int(r["resp_status"])
+            status_counts[s] = status_counts.get(s, 0) + int(r["scheduled"])
+    base = {f.name: 0 for f in METRICS_SCHEMA.fields}
+    mrows = []
+    for p in sorted(per_part):
+        row = dict(base)
+        row.update(per_part[p])
+        row.update(wave=wave, partition_id=p, deduped=0, unrouted=0,
+                   t_fetch_ms=float(t_fetch_ms), t_parse_ms=float(t_parse_ms))
+        mrows.append(row)
+    roll = dict(base)
+    roll.update(wave=wave, partition_id=-1, deduped=int(deduped_count),
+                t_fetch_ms=float(t_fetch_ms), t_parse_ms=float(t_parse_ms))
+    mrows.append(roll)
+    return mrows, status_counts
+
+
 def wave_metrics(
     wave: int,
     parse_out: DataFrame,
