@@ -546,11 +546,21 @@ class CrawlEngine:
             }
 
         pending_count = None  # unknown -> probe once
+        # handle to the overlapped seen-write + bloom-build of the
+        # PREVIOUS wave (runs on io_pool while this wave schedules and
+        # fetches); every seen-set consumer awaits it first
+        seen_fut = None
+
+        def _await_seen():
+            nonlocal seen_fut
+            if seen_fut is not None:
+                seen_fut.result()
+                seen_fut = None
+
         while wave < cfg.max_waves:
             pending = pending_view()
             if pending_count is None:
                 pending_count = pending.count()
-            seen = io.read_all_waves("seen")
 
             # spider admission (F4/L2): activate one pending seed group
             # per wave while the frontier holds <= threshold requests
@@ -565,7 +575,8 @@ class CrawlEngine:
                     inj, self.robots if cfg.respect_robots else None
                 )
                 if cfg.dedup:
-                    inj = self._filter_new(inj, seen)
+                    _await_seen()
+                    inj = self._filter_new(inj, io.read_all_waves("seen"))
                 inj = inj.persist()
                 n_inj = inj.count()
                 if n_inj:
@@ -576,7 +587,6 @@ class CrawlEngine:
                             inj.select("url_canon"), "seen", wave, mode="append"
                         )
                         self._bloom_add(inj)
-                        seen = io.read_all_waves("seen")
                 inj.unpersist()
                 # every numbered seed consumes a seq — including ones
                 # dropped as duplicates or already-seen (spec seed loop
@@ -756,7 +766,12 @@ class CrawlEngine:
                 candidates, self.robots if cfg.respect_robots else None
             )
             if cfg.dedup:
-                candidates = self._filter_new(candidates, seen)
+                # first point this wave that needs the seen set: await
+                # the overlapped write+build, then list the table dirs
+                _await_seen()
+                candidates = self._filter_new(
+                    candidates, io.read_all_waves("seen")
+                )
             new_front, n_new = enqueue_outlinks(candidates, next_seq, wave + 1)
 
             # retry rows: rejoin the small retryable key set against the
@@ -822,14 +837,22 @@ class CrawlEngine:
             tr.mark("dedup+seq+frontier")
             next_seq += n_new
             if cfg.dedup and n_new:  # nothing new -> no seen/bloom jobs
-                new_seen = io.read("frontier", wave + 1).filter(
-                    F.col("wave") == wave + 1
-                )
-                io.write(new_seen.select("url_canon"), "seen", wave + 1)
-                # build the delta slice from the url-only seen parquet
-                # just written — a fraction of the frontier dir's bytes
-                self._bloom_add(io.read("seen", wave + 1))
-                tr.mark("seen+bloom")
+                def _seen_and_bloom(w: int = wave) -> None:
+                    new_seen = io.read("frontier", w + 1).filter(
+                        F.col("wave") == w + 1
+                    )
+                    io.write(new_seen.select("url_canon"), "seen", w + 1)
+                    # build the delta slice from the url-only seen
+                    # parquet just written — a fraction of the frontier
+                    # dir's bytes
+                    self._bloom_add(io.read("seen", w + 1))
+
+                # the seen table + prune filter are next consumed by the
+                # NEXT wave's dedup phase — run the write+build on the
+                # I/O pool so it overlaps that wave's schedule/fetch/
+                # parse; _await_seen() drains before every consumer
+                seen_fut = io_pool.submit(_seen_and_bloom)
+                tr.mark("seen+bloom(submit)")
 
             n_dedup = max(n_outlinks - n_new, 0)
             for r in mrows:
@@ -894,6 +917,9 @@ class CrawlEngine:
             wave += 1
             stats.waves = wave
             if wave % cfg.checkpoint_every == 0:
+                # a manifest advancing next_wave implies the wave's seen
+                # slice is durable — await the overlapped write+build
+                _await_seen()
                 self._flush_metrics(io)
                 io.commit(
                     {
@@ -911,6 +937,7 @@ class CrawlEngine:
                 df.unpersist()
             self._wave_caches = []
 
+        _await_seen()  # terminal wave's overlapped seen slice, if any
         for df in (*drain_seq_caches(), *self._wave_caches):
             df.unpersist()  # caches from injections on terminal waves
         self._wave_caches = []
