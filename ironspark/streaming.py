@@ -107,3 +107,70 @@ def run_stream_once(stream_df: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def crawl_stream(
+    spark: SparkSession,
+    pages: DataFrame | None,
+    spiders: dict,
+    run_dir: str,
+    seeds_dir: str,
+    config=None,
+    available_now: bool = True,
+    **engine_kwargs,
+):
+    """Continuous-crawl INPUT veneer (SURVEY §7.6): a foreachBatch
+    driver that turns a directory of seed files into an ever-running
+    crawl.
+
+    ``readStream`` tails ``seeds_dir`` for new seed parquet files
+    (columns per SEEDS_SCHEMA: spider_id, url, seed_rank); every
+    micro-batch of seeds is injected into the SAME run_dir — the first
+    batch starts the crawl, later batches resume it from its snapshot
+    manifest (seq numbering continues, the seen set carries over, so a
+    re-dropped url stays deduped). This is the feedback-loop-safe way
+    to put Structured Streaming on top of the wave engine: streaming
+    handles the open-ended INPUT arrival, the engine keeps its
+    deterministic iterative core (SURVEY §2.11's mapping decision).
+
+    Returns the StreamingQuery; with ``available_now`` the call drains
+    currently-present seed files and stops (the batch-testable form).
+    """
+    import os
+
+    from ironspark.config import EngineConfig
+    from ironspark.engine import CrawlEngine, TableIO
+    from ironspark.schemas import SEEDS_SCHEMA
+
+    cfg = config or EngineConfig()
+
+    seeds_stream = (
+        spark.readStream.schema(SEEDS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(seeds_dir)
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        eng = CrawlEngine(spark, pages, spiders, cfg, **engine_kwargs)
+        man = TableIO(spark, run_dir).manifest()
+        if man is None:
+            eng.run(seeds=batch_df, run_dir=run_dir)
+        else:
+            # resume: new seeds join the existing frontier/seen state
+            # through the engine's admission control (F4) — injected as
+            # soon as the pending backlog is below the holding threshold
+            eng.run(run_dir=run_dir, resume=True, staged_seeds=[batch_df])
+
+    # checkpoint SIBLING to run_dir, never inside it: a fresh engine
+    # run rmtree's run_dir, which would destroy the live query's state
+    writer = seeds_stream.writeStream.foreachBatch(run_batch).option(
+        "checkpointLocation", run_dir.rstrip("/") + "_seeds_ckpt"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -103,3 +103,59 @@ def test_stateful_running_counts_stream(spark, run_dir):
     assert dict(zip(got["author"], got["n"])) == {
         "Author 1": 2, "Author 2": 2, "Author 3": 2,
     }
+
+
+def test_crawl_stream_foreachbatch(spark, tmp_path):
+    """Continuous-crawl input veneer (SURVEY §7.6): seed files dropped
+    into a directory drive the crawl via foreachBatch — the first batch
+    starts the run, a later drop resumes it; seq numbering continues
+    and the seen set carries over (the re-dropped url stays deduped)."""
+    import pandas as pd
+
+    from ironspark.config import EngineConfig
+    from ironspark.corpus import chain_pages
+    from ironspark.engine import CrawlEngine
+    from ironspark.schemas import PAGES_SCHEMA, SEEDS_SCHEMA
+    from ironspark.spider import ArticleSpider
+    from ironspark.streaming import crawl_stream
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            chain_pages("c0.example.com", 3) + chain_pages("c1.example.com", 2)
+        ),
+        PAGES_SCHEMA,
+    )
+    seeds_dir = str(tmp_path / "seeds_in")
+    run_dir = str(tmp_path / "stream_run")
+    cfg = EngineConfig(dedup=True, seen_backend="exact", max_waves=10,
+                       respect_robots=False, wave_seconds=3600.0)
+
+    def drop(urls, rank0=0):
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(1, u, rank0 + i) for i, u in enumerate(urls)],
+                columns=["spider_id", "url", "seed_rank"],
+            ),
+            SEEDS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(seeds_dir)
+
+    # drop 1: chain c0 -> first crawl leg
+    drop(["http://c0.example.com:5000/article/3"])
+    crawl_stream(spark, pages, {1: ArticleSpider()}, run_dir, seeds_dir,
+                 config=cfg)
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, cfg)
+    assert eng.items_df(run_dir).count() == 3
+
+    # drop 2: chain c1 + a re-dropped (already-seen) c0 url
+    drop(
+        ["http://c1.example.com:5000/article/2",
+         "http://c0.example.com:5000/article/3"],
+        rank0=10,
+    )
+    crawl_stream(spark, pages, {1: ArticleSpider()}, run_dir, seeds_dir,
+                 config=cfg)
+    items = eng.items_df(run_dir).toPandas()
+    assert len(items) == 5  # 3 + 2; the re-dropped chain stayed deduped
+    order = eng.crawl_order_df(run_dir).toPandas()
+    assert not order.duplicated(["seq", "wave"]).any()
+    assert order["url_canon"].nunique() == 5
