@@ -20,6 +20,7 @@ exists). Idle shutdown (monitor.rs:62-72) = frontier-empty probe.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -212,17 +213,26 @@ class IcebergTableIO(TableIO):
     commits, so a resume sees only fully-committed waves.
     """
 
-    CATALOG = "ironspark_run"
-
     def __init__(self, spark: SparkSession, root: str):
         super().__init__(spark, root)
         wh = os.path.join(root, "_iceberg_warehouse")
+        # Spark instantiates catalog objects once per name and Iceberg's
+        # SparkCatalog wraps a CachingCatalog — a FIXED catalog name
+        # would keep resolving against the first run_dir's warehouse for
+        # the whole session.  Deriving the name from the run root makes
+        # each run_dir its own catalog; cache-enabled=false also drops
+        # stale table metadata when a run_dir is wiped and recreated.
+        digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
+        self.CATALOG = f"ironspark_{digest}"
         spark.conf.set(
             f"spark.sql.catalog.{self.CATALOG}",
             "org.apache.iceberg.spark.SparkCatalog",
         )
         spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.type", "hadoop")
         spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.warehouse", wh)
+        spark.conf.set(
+            f"spark.sql.catalog.{self.CATALOG}.cache-enabled", "false"
+        )
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.CATALOG}.state")
 
     def _ident(self, name: str) -> str:
@@ -414,12 +424,15 @@ class CrawlEngine:
             kept = seen.join(url_df, "url_canon", "left_anti")
             io.rewrite(kept, "seen")  # atomic swap / Iceberg RTAS
         if isinstance(self._bloom, ShardedCuckoo):
-            self._bloom.delete_urls(urls)
-            if removed:
+            zeroed = self._bloom.delete_urls(urls)
+            if zeroed:
                 # collision repair: a delete can zero a (fp, bucket)
                 # shared with a SURVIVING url (cuckoo false negative —
                 # would break exact dedup); re-insert such survivors
-                # from the rewritten seen table (seen.py docstring)
+                # from the rewritten seen table (seen.py docstring).
+                # Gated on entries ACTUALLY zeroed, not seen-table rows:
+                # an invalidated url absent from seen can still
+                # (shard, fp, bucket)-collide with a surviving url
                 self._bloom.resync_after_delete(io.read("seen"))
         return removed
 
@@ -721,19 +734,7 @@ class CrawlEngine:
             tr.mark("fetch+parse+metrics")
 
             if cfg.store_cookies:
-                # harvest Set-Cookie lineage from the cached parse rows
-                # (never re-runs the fetch join); sorted for determinism
-                # — last (host, set_cookie) in order wins per host
-                jar_rows = (
-                    parse_out.filter(
-                        (F.col("kind") == "resp")
-                        & F.col("set_cookie").isNotNull()
-                    )
-                    .select("host", "set_cookie")
-                    .collect()
-                )
-                for r in sorted((r["host"], r["set_cookie"]) for r in jar_rows):
-                    self._cookie_jar[r[0]] = r[1]
+                self._harvest_cookies(parse_out)
 
             # items -> pipelines -> sink (I1-I5, S4)
             items = (
@@ -964,6 +965,26 @@ class CrawlEngine:
         stats.wall_s = time.monotonic() - t_start
         return stats
 
+    def _harvest_cookies(self, parse_out: DataFrame) -> list:
+        """Fold Set-Cookie lineage into the per-host jar (S6 harvest,
+        reference engine.rs cookie store). The reduction happens
+        EXECUTOR-side — the driver receives O(distinct hosts), not
+        O(cookie-bearing responses): per host, the lexicographically
+        largest set_cookie value wins (deterministic; NOT crawl order —
+        the same tie-break the previous sorted()-loop applied).
+        Returns the collected rows (one per distinct cookie host)."""
+        jar_rows = (
+            parse_out.filter(
+                (F.col("kind") == "resp") & F.col("set_cookie").isNotNull()
+            )
+            .groupBy("host")
+            .agg(F.max("set_cookie").alias("set_cookie"))
+            .collect()
+        )
+        for r in jar_rows:
+            self._cookie_jar[r["host"]] = r["set_cookie"]
+        return jar_rows
+
     def _flush_metrics(self, io: TableIO) -> None:
         """Write all buffered (wave, partition) metric rows as one table."""
         if not self._metrics_buf:
@@ -974,13 +995,17 @@ class CrawlEngine:
 
         pdf = pd.DataFrame(self._metrics_buf)[[f.name for f in METRICS_SCHEMA.fields]]
         df = self.spark.createDataFrame(pdf, METRICS_SCHEMA)
-        df.coalesce(1).write.mode("overwrite").parquet(io.path("metrics"))
+        # through the TableIO abstraction, NOT direct parquet: resume
+        # (io.exists/io.read above) and monitor.render_run go through the
+        # backend — a direct-parquet flush would be invisible to the
+        # Iceberg backend's catalog-based exists()
+        io.write(df.coalesce(1), "metrics")
         if self._status_buf:
             sdf = self.spark.createDataFrame(
                 pd.DataFrame(self._status_buf),
                 "wave int, resp_status int, count long",
             )
-            sdf.coalesce(1).write.mode("overwrite").parquet(io.path("status"))
+            io.write(sdf.coalesce(1), "status")
 
     # -- result accessors ------------------------------------------------------
 

@@ -217,9 +217,13 @@ def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
     from ironspark.url import canonicalize_series, host_series
 
     ua = cfg.user_agent
-    timeout = max(
-        cfg.downloader_request_timeout_s, cfg.downloader_connect_timeout_s
-    )
+    connect_timeout = cfg.downloader_connect_timeout_s
+    request_timeout = cfg.downloader_request_timeout_s
+    # headers the reference client (reqwest) strips when a redirect
+    # leaves the original host — replaying credentials to an arbitrary
+    # redirect target is a credential leak
+    _SENSITIVE = ("cookie", "authorization", "proxy-authorization",
+                  "www-authenticate")
 
     def run(batches):
         import pandas as pd
@@ -230,8 +234,12 @@ def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
             key = (scheme, host, port)
             c = pool.get(key)
             if c is None:
+                # the CONNECT timeout applies while the socket is being
+                # established (http.client connects lazily on the first
+                # request); the per-request timeout is applied to the
+                # connected socket before the response is read
                 cls = _hc.HTTPSConnection if scheme == "https" else _hc.HTTPConnection
-                c = cls(host, port, timeout=timeout)
+                c = cls(host, port, timeout=connect_timeout)
                 pool[key] = c
             return c
 
@@ -241,9 +249,18 @@ def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
             hdrs = dict(headers) if headers else {}
             hdrs.setdefault("user-agent", ua)
             cur = url
+            prev_host = None
             for _hop in range(_MAX_REDIRECTS + 1):
                 parts = urlsplit(cur)
                 host = parts.hostname or ""
+                if prev_host is not None and host != prev_host:
+                    # cross-host redirect: drop credential-bearing
+                    # headers, as the reference's reqwest policy does
+                    hdrs = {
+                        k: v for k, v in hdrs.items()
+                        if k.lower() not in _SENSITIVE
+                    }
+                prev_host = host
                 port = parts.port or (443 if parts.scheme == "https" else 80)
                 path = parts.path or "/"
                 if parts.query:
@@ -253,6 +270,8 @@ def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
                     c = conn_for(parts.scheme, host, port)
                     try:
                         c.request(method, path, body=payload, headers=hdrs)
+                        if c.sock is not None:
+                            c.sock.settimeout(request_timeout)
                         r = c.getresponse()
                     except (_hc.HTTPException, ConnectionError, BrokenPipeError):
                         # stale pooled connection: recreate once
@@ -260,6 +279,8 @@ def http_fetch_stage(scheduled: DataFrame, cfg: EngineConfig) -> DataFrame:
                         pool.pop((parts.scheme, host, port), None)
                         c = conn_for(parts.scheme, host, port)
                         c.request(method, path, body=payload, headers=hdrs)
+                        if c.sock is not None:
+                            c.sock.settimeout(request_timeout)
                         r = c.getresponse()
                     data = r.read()
                     cookies = r.headers.get_all("Set-Cookie")

@@ -86,10 +86,21 @@ except ImportError:  # pragma: no cover — pinned stdlib in this container
     )
     _TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 
+# html.parser's set_cdata_mode (3.11.7) grammar is r'</\s*{tag}\s*>':
+# CDATA ends only at a COMPLETE end tag (whitespace allowed around the
+# name — '</ script >' ends CDATA; '</script foo>' is data and CDATA
+# continues; an unterminated '</script' at EOF never ends it)
 _CDATA_END = {
-    "script": re.compile(r"</script(?=[\s/>])", re.I),
-    "style": re.compile(r"</style(?=[\s/>])", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
+
+# the spec's end-tag grammar (html.parser endtagfind): whitespace is
+# allowed between '</' and the name, so '</ article>' closes article
+try:  # noqa: SIM105
+    from html.parser import endtagfind as _ENDTAG_RE  # noqa: E402
+except ImportError:  # pragma: no cover — pinned stdlib in this container
+    _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 
 # marked sections (<![CDATA[..]]>, <![if ..]>): _markupbase grammar
 _DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
@@ -201,8 +212,24 @@ def _scan(html: str) -> tuple[str | None, str | None, list[str]]:
         m = _TAG_RE.match(html, lt)
         if m is None:
             if c == "/":
-                # bogus end tag (</>, </3...>): dropped to the next '>';
-                # with no '>', EOF recovery emits it as data
+                em = _ENDTAG_RE.match(html, lt)
+                if em is not None:
+                    # '</ name >' IS an end tag per endtagfind (spec
+                    # parse_endtag matches it before the bogus path)
+                    name = em.group(1).lower()
+                    i = em.end()
+                    for j in range(len(stack) - 1, -1, -1):
+                        if stack[j] == name:
+                            del stack[j:]
+                            if auth_idx >= 0 and j <= auth_idx:
+                                auth_idx = -1
+                            if art_idx >= 0 and j <= art_idx:
+                                art_idx = -1
+                            break
+                    continue
+                # bogus end tag (</>, </3...>, '</ name junk>'): dropped
+                # to the next '>'; with no '>', EOF recovery emits it as
+                # data (spec parse_bogus_comment / goahead end-recovery)
                 end = html.find(">", lt + 2)
                 if end >= 0:
                     i = end + 1

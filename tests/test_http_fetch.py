@@ -187,3 +187,64 @@ def test_http_timeout_retry_exhaust(spark, tmp_path, server):
     assert stats.items == 0
     assert stats.failed == 2      # original + 1 retry, both timed out
     assert stats.exhausted == 1
+
+
+def test_http_cross_host_redirect_strips_credentials(spark, server):
+    """Cookie/Authorization must NOT follow a redirect to another host
+    (reqwest's redirect policy, downloader.rs:43-76); same-host
+    redirects keep them.  127.0.0.1 vs localhost are distinct host
+    strings on the loopback, giving a real cross-host hop."""
+    from ironspark.fetch import http_fetch_stage
+
+    port = server
+    html = b"<article>T<author>A</author></article>"
+    _CorpusHandler.pages["/dest"] = html
+    _CorpusHandler.pages["/same-dest"] = html
+    _CorpusHandler.redirects["/cross"] = f"http://localhost:{port}/dest"
+    _CorpusHandler.redirects["/same"] = f"http://127.0.0.1:{port}/same-dest"
+    _CorpusHandler.seen_headers = []
+
+    orig_do_get = _CorpusHandler.do_GET
+
+    def spy(self):
+        type(self).seen_headers.append(
+            (self.path,
+             self.headers.get("Cookie"),
+             self.headers.get("Authorization"))
+        )
+        orig_do_get(self)
+
+    _CorpusHandler.do_GET = spy
+    try:
+        hdrs = {"cookie": "sid=s3cret", "authorization": "Bearer tok",
+                "x-trace": "keep-me"}
+        rows = [
+            (f"http://127.0.0.1:{port}/cross",) ,
+            (f"http://127.0.0.1:{port}/same",),
+        ]
+        sched = spark.createDataFrame(
+            [
+                (u, u, "127.0.0.1", 1, i, 0, "GET", hdrs, None)
+                for i, (u,) in enumerate(rows)
+            ],
+            "url_canon string, url string, host string, spider_id int, "
+            "seq long, attempt int, method string, "
+            "headers map<string,string>, body string",
+        )
+        from ironspark.config import EngineConfig
+        out = http_fetch_stage(sched, EngineConfig()).collect()
+        by_url = {r.url: r for r in out}
+        # both redirects followed to 200 with the body served
+        assert all(r.resp_status == 200 for r in out)
+        got = {p: (ck, auth) for p, ck, auth in _CorpusHandler.seen_headers}
+        # first hops carry the credentials
+        assert got["/cross"] == ("sid=s3cret", "Bearer tok")
+        assert got["/same"] == ("sid=s3cret", "Bearer tok")
+        # cross-host hop: stripped; same-host hop: kept
+        assert got["/dest"] == (None, None)
+        assert got["/same-dest"] == ("sid=s3cret", "Bearer tok")
+        # non-sensitive headers survive the cross-host hop (spot check:
+        # the request succeeded and was not credential-bearing)
+        assert f"http://localhost:{port}/dest" in by_url
+    finally:
+        _CorpusHandler.do_GET = orig_do_get

@@ -100,6 +100,26 @@ ADVERSARIAL = [
     "<article><p>p1<p>p2</article>",  # unclosed <p>s
     "<script><article>inside cdata<author>n</author></article></script>"
     "<article>real</article>",
+    # whitespace-after-'</' grammar (endtagfind allows '</ name >';
+    # set_cdata_mode's interesting is the FULL r'</\s*script\s*>')
+    "<article>a<script>x</ script>y</script>b</article>",
+    "<article>a<script>x</script foo>y</script>b</article>",
+    "<article>a<script>x</ script foo>y</script>b</article>",
+    "<article><script>x</ script><author>A</author></article>",
+    "<article>a</ article>b",
+    "<article>a</ article b>c</article>",
+    "<article>a<style>s</ style>b</article>",
+    "<article>a<script>x</scripty>z</script>b</article>",
+    "<article>a<script>x</ scr!pt>z</script>b</article>",
+    "<article>a<script>x</ scri",
+    "<article>a<script>x</script",
+    "<article>a<script>x</script/>y</script>b</article>",
+    "<article>a<script>x</ ScRiPt >y<b>c</article>",
+    "<article><author>A</ author>t</article>",
+    "<article>a<script>x</scriptyQ</script>b</article>",
+    "<article>a<script>x</script<i></script>b</article>",
+    "<article>a</ >b</article>",
+    "<article>a</\t\narticle>b",
 ]
 
 
@@ -129,6 +149,7 @@ _soup_atom = st.sampled_from(
         "&#65;", "text ", "x", " ", "<br>", "<img>", "<script>", "</script>",
         "<b/>", "</b>", "<!--", "-->", "<!", "<?", "http://h/x", "../r",
         "<ARTICLE>", "</ARTICLE>", "href=", "=", "/", "\"", "'",
+        "</ script>", "</ article>", "</ ", "</\t", "</ script foo>",
     ]
 )
 
