@@ -168,14 +168,23 @@ def main() -> None:
     crawl_s = statistics.median(r["wall_s"] for r in reps)
     crawl_ups = statistics.median(r["urls_per_sec"] for r in reps)
 
-    # -- operator timings ---------------------------------------------------
+    # -- operator timings: same median-of-REPS discipline as the crawl
+    # (VERDICT r3 #4 — single-run operator numbers produced a phantom
+    # +25% "regression" on t_lsh_pairs in round 3); first rep is the
+    # plan/codegen warmup and is excluded, the reported figure is the
+    # median of the REPS measured runs, per-rep walls disclosed.
     queries = entry_mod.queries()
     q_times: dict[str, float] = {"crawl": round(crawl_s, 3)}
+    q_reps: dict[str, list[float]] = {}
     for name in QUERY_NAMES:
-        t = time.monotonic()
-        df = queries[name](spark, SF_DIR)
-        df.count()
-        q_times[name] = round(time.monotonic() - t, 3)
+        queries[name](spark, SF_DIR).count()  # warmup: compile the plan
+        walls = []
+        for _ in range(REPS):
+            t = time.monotonic()
+            queries[name](spark, SF_DIR).count()
+            walls.append(round(time.monotonic() - t, 3))
+        q_reps[name] = walls
+        q_times[name] = round(statistics.median(walls), 3)
 
     total = round(crawl_s + sum(v for k, v in q_times.items() if k != "crawl"), 3)
     out = {
@@ -183,6 +192,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": q_times,
+        "query_protocol": f"median of {REPS} reps after 1 warmup rep",
+        "query_reps": q_reps,
         "sf": float(sf),
         "crawl": {
             "pages": n_pages,

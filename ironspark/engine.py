@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -49,8 +50,10 @@ from ironspark.schemas import SEEDS_SCHEMA
 from ironspark.seen import ShardedBloom, ShardedCuckoo
 from ironspark.spider import Spider
 
+# no `wave` data column: a frontier row's wave is its segment directory
+# (see ironspark/frontier.py note — keeps per-wave plans literal-free)
 _FRONTIER_COLS = [
-    "url_canon", "url", "host", "spider_id", "seq", "wave", "attempt",
+    "url_canon", "url", "host", "spider_id", "seq", "attempt",
     "method", "headers", "body", "meta", "status",
 ]
 
@@ -129,10 +132,39 @@ def make_table_io(spark: SparkSession, root: str) -> "TableIO":
 class TableIO:
     """Parquet-dir snapshot store with a JSON manifest (Iceberg seam)."""
 
+    # engine-controlled table schemas: providing them to the reader
+    # elides the per-read parquet footer-inference job (measured as a
+    # swarm of 1-task jobs inside every wave's serial budget). `items`
+    # is deliberately ABSENT — user pipelines may reshape item rows.
+    SCHEMAS: dict = {}
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        if not TableIO.SCHEMAS:
+            from ironspark.schemas import (
+                CONSUMED_SCHEMA,
+                CRAWL_ORDER_SCHEMA,
+                FRONTIER_SCHEMA,
+                METRICS_SCHEMA,
+                SEEN_SCHEMA,
+                STATUS_SCHEMA,
+            )
+
+            TableIO.SCHEMAS = {
+                "frontier": FRONTIER_SCHEMA,
+                "frontier_base": FRONTIER_SCHEMA,
+                "seen": SEEN_SCHEMA,
+                "order": CRAWL_ORDER_SCHEMA,
+                "consumed": CONSUMED_SCHEMA,
+                "metrics": METRICS_SCHEMA,
+                "status": STATUS_SCHEMA,
+            }
+
+    def _reader(self, name: str):
+        s = TableIO.SCHEMAS.get(name.split("/", 1)[0])
+        return self.spark.read.schema(s) if s is not None else self.spark.read
 
     def path(self, name: str, wave: int | None = None) -> str:
         return (
@@ -152,18 +184,18 @@ class TableIO:
     def read_rel(self, relpaths: list[str]) -> DataFrame:
         # explicit leaf dirs, NO basePath: avoids partition-column
         # inference colliding with the `wave` data column
-        return self.spark.read.parquet(
+        return self._reader(relpaths[0]).parquet(
             *[os.path.join(self.root, p) for p in relpaths]
         )
 
     def read(self, name: str, wave: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(self.path(name, wave))
+        return self._reader(name).parquet(self.path(name, wave))
 
     def read_all_waves(self, name: str) -> DataFrame | None:
         base = os.path.join(self.root, name)
         if not os.path.isdir(base) or not os.listdir(base):
             return None
-        return self.spark.read.option("basePath", base).parquet(
+        return self._reader(name).option("basePath", base).parquet(
             *[os.path.join(base, d) for d in sorted(os.listdir(base)) if d.startswith("wave=")]
         )
 
@@ -282,7 +314,13 @@ class IcebergTableIO(TableIO):
     def read_all_waves(self, name):
         if not self._table_exists(name):
             return None
-        return self.spark.table(self._ident(name)).drop("_wp")
+        t = self.spark.table(self._ident(name))
+        if "wave" in t.columns:
+            return t.drop("_wp")
+        # state rows carry no wave data column (plan stability — see
+        # frontier.py note); surface the partition value as `wave`,
+        # mirroring the parquet backend's directory-derived column
+        return t.withColumnRenamed("_wp", "wave")
 
     def exists(self, name):
         return self._table_exists(name)
@@ -370,10 +408,16 @@ class CrawlEngine:
             confirm = (
                 tagged.filter(F.col("_maybe"))
                 .drop("_maybe")
-                .join(seen, "url_canon", "left_anti")
+                # shuffle_hash, NOT broadcast: the right side is the
+                # FULL seen table — AQE would happily broadcast it while
+                # it fits, making the driver rebuild an O(seen) hash
+                # table every wave (serial, and growing with the crawl);
+                # the shuffled hash join keeps the O(seen) work on the
+                # executors and scales with the cluster
+                .join(seen.hint("shuffle_hash"), "url_canon", "left_anti")
             )
             return definite_new.unionByName(confirm)
-        return candidates.join(seen, "url_canon", "left_anti")
+        return candidates.join(seen.hint("shuffle_hash"), "url_canon", "left_anti")
 
     def _bloom_add(self, new_urls: DataFrame) -> None:
         """Add this wave's new urls to the prune filter. bloom: ONE
@@ -463,8 +507,30 @@ class CrawlEngine:
         # independent sink writes (order, items) run as concurrent Spark
         # actions so file I/O overlaps the wave's compute; drained at
         # each wave's end before commits/unpersist (see wave loop)
-        io_pool = ThreadPoolExecutor(max_workers=2)
+        io_pool = ThreadPoolExecutor(max_workers=3)
         t_start = time.monotonic()
+
+        # Selective AQE: adaptive execution turns EVERY action into a
+        # chain of sequential stage-jobs with a driver re-optimization
+        # between each. For the one heavy job per wave (fetch + Arrow
+        # parse) that is what we want at scale — runtime skew-join
+        # splitting and partition coalescing. For the wave's many tiny
+        # bookkeeping actions (seq counts, sink writes, probes) the
+        # re-optimization rounds ARE the cost: measured ~1.4s for a
+        # count whose task time is ~50ms, flat across core counts —
+        # i.e. pure driver-serial floor, the 2v8 scaling drag
+        # (BENCH.md round-4). So AQE is OFF as the wave-loop steady
+        # state and flipped on only around the heavy collect.
+        _had_aqe = (
+            str(self.spark.conf.get("spark.sql.adaptive.enabled", "false"))
+            .lower() == "true"
+        )
+
+        def _aqe(on: bool) -> None:
+            if _had_aqe:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", "true" if on else "false"
+                )
 
         # Frontier state is MERGE-ON-READ (the Iceberg pattern on the
         # TableIO seam): `segments` lists delta dirs (each wave appends
@@ -558,20 +624,47 @@ class CrawlEngine:
                 ).collect()
             }
 
+        _aqe(False)  # wave-loop steady state (restored before return;
+        # an exception leaves it off, which is safe — only the wave's
+        # single heavy job wants it on)
         pending_count = None  # unknown -> probe once
-        # handle to the overlapped seen-write + bloom-build of the
-        # PREVIOUS wave (runs on io_pool while this wave schedules and
-        # fetches); every seen-set consumer awaits it first
+        # handle to the PREVIOUS wave's overlapped durable tail
+        # (frontier segment + seen delta + bloom slice, ONE chained
+        # io_pool task); every seen-set consumer awaits it first.
+        # frontier_done gates only the frontier-segment stage, for
+        # readers that need the DIRECTORY but not the seen set.
         seen_fut = None
+        release_after_seen: list = []
+        frontier_done: threading.Event | None = None
+        prev_front = None        # previous wave's front_next cache
+        pending_handoff = None   # live DataFrame for next wave's pending
+        handoff_streak = 0
+
+        def _await_frontier():
+            if frontier_done is not None:
+                frontier_done.wait()
 
         def _await_seen():
-            nonlocal seen_fut
+            nonlocal seen_fut, release_after_seen
             if seen_fut is not None:
                 seen_fut.result()
                 seen_fut = None
+                for df in release_after_seen:
+                    df.unpersist()
+                release_after_seen = []
 
         while wave < cfg.max_waves:
-            pending = pending_view()
+            if pending_handoff is not None:
+                # fast-path handoff: last wave's delta IS the whole
+                # pending set and its cached frame is live — plan the
+                # wave against it; the parquet read-back (and the wait
+                # for the overlapped segment write) disappears from the
+                # critical path
+                pending = pending_handoff
+                pending_handoff = None
+            else:
+                _await_frontier()  # segment dir complete before listing
+                pending = pending_view()
             if pending_count is None:
                 pending_count = pending.count()
 
@@ -580,9 +673,10 @@ class CrawlEngine:
             # (reference try_activate_pending_spider,
             # src/spider/manager.rs:239-279, threshold :34-36)
             if staged_seeds and pending_count <= cfg.scheduler_holding_threshold:
+                _await_frontier()  # injection appends to segments[-1]
                 grp = staged_seeds.pop(0)
                 inj, n_grp = seeds_to_frontier(
-                    grp, dedup=cfg.dedup, base_seq=next_seq, wave=wave
+                    grp, dedup=cfg.dedup, base_seq=next_seq
                 )
                 inj = robots_disallow_filter(
                     inj, self.robots if cfg.respect_robots else None
@@ -681,9 +775,10 @@ class CrawlEngine:
             wave_writes = [
                 io_pool.submit(
                     io.write,
-                    scheduled.select("seq", "url_canon").withColumn(
-                        "wave", F.lit(wave)
-                    ),
+                    # wave is the PARTITION DIRECTORY (order/wave=N),
+                    # not a data column: the write plan stays
+                    # literal-free and codegen-cached across waves
+                    scheduled.select("seq", "url_canon"),
                     "order",
                     wave,
                 )
@@ -720,8 +815,12 @@ class CrawlEngine:
             # tui.rs:103-117): the agg runs at (partition, status) grain
             # and rolls up driver-side — one fewer job in the wave's
             # serial budget (metrics.wave_metrics_fine docstring)
+            _aqe(True)   # the heavy job: runtime skew handling wanted
             fine = wave_metrics_fine(parse_out).collect()
-            mrows, status_counts = rollup_wave_metrics(fine, wave, 0, 0.0, 0.0)
+            _aqe(False)  # back to tiny bookkeeping actions
+            mrows, status_counts, ps_bounds = rollup_wave_metrics(
+                fine, wave, 0, 0.0, 0.0
+            )
             self._status_buf.extend(
                 {"wave": wave, "resp_status": s, "count": c}
                 for s, c in sorted(status_counts.items())
@@ -743,7 +842,6 @@ class CrawlEngine:
                     "item_type", "spider_id", "src_url", "title", "author",
                     "number", "text",
                 )
-                .withColumn("wave", F.lit(wave))
             )
             n_unrouted = 0
             if self.pipelines is not None:
@@ -770,10 +868,14 @@ class CrawlEngine:
                 # first point this wave that needs the seen set: await
                 # the overlapped write+build, then list the table dirs
                 _await_seen()
+                tr.mark("await-seen")
                 candidates = self._filter_new(
                     candidates, io.read_all_waves("seen")
                 )
-            new_front, n_new = enqueue_outlinks(candidates, next_seq, wave + 1)
+            new_front, n_new = enqueue_outlinks(
+                candidates, next_seq, bounds=ps_bounds
+            )
+            tr.mark("enqueue(seq-jobs)")
 
             # retry rows: rejoin the small retryable key set against the
             # cached scheduled frontier (never against the corpus).
@@ -796,12 +898,91 @@ class CrawlEngine:
             # pending_count means politeness scheduled everything and no
             # hook dropped rows, so this delta IS the whole pending set
             # and the segment/consumed state resets for free.
-            io.write(retry.unionByName(new_front), "frontier", wave + 1)
+            #
+            # The ENTIRE durable tail — frontier segment write, seen
+            # delta write, bloom/cuckoo slice build — is ONE chained
+            # task on the I/O pool: it overlaps the next wave's
+            # schedule + fetch + parse. frontier_done gates readers of
+            # the segment DIRECTORY (pending_view/admission/compaction);
+            # _await_seen() (the full future) gates seen-set consumers
+            # and releases this wave's caches.
+            # localCheckpoint (non-eager), NOT plain persist: persist
+            # caches DATA but keeps the full logical plan, and the
+            # handoff below would nest every previous wave's plan into
+            # the next one (select_wave references pending several
+            # times, so the tree grows ~4x per wave — measured as a
+            # planning-time explosion by wave 3). The checkpoint
+            # truncates lineage to a LogicalRDD scan, materialized for
+            # free by the tail task's frontier write. On a cluster the
+            # blocks are unreplicated — executor loss fails the wave —
+            # but the parquet segment the tail wrote is the durable
+            # copy, and a resume from the manifest replays cleanly.
+            front_next = retry.unionByName(new_front).localCheckpoint(
+                eager=False
+            )
+            do_seen = bool(cfg.dedup and n_new)
+            frontier_done = threading.Event()
+
+            def _tail(
+                w: int = wave,
+                fn: DataFrame = front_next,
+                ev: threading.Event = frontier_done,
+                do_seen: bool = do_seen,
+            ) -> None:
+                try:
+                    io.write(fn, "frontier", w + 1)
+                finally:
+                    ev.set()  # never leave a reader blocked
+                if do_seen:
+                    # new rows are exactly the attempt==0 rows (retries
+                    # have attempt >= 1); literal-free filter
+                    io.write(
+                        fn.filter(F.col("attempt") == 0).select("url_canon"),
+                        "seen", w + 1,
+                    )
+                    # build the delta slice from the url-only seen
+                    # parquet just written — a fraction of the frontier
+                    # dir's bytes
+                    self._bloom_add(io.read("seen", w + 1))
+
+            # caches the tail task reads — released once it lands. The
+            # PREVIOUS wave's front_next is released one wave later (the
+            # handoff plan below may reference it as `pending`).
+            tail_release = [
+                selected, parse_out, *drain_seq_caches(), *self._wave_caches
+            ]
+            self._wave_caches = []
+            if prev_front is not None:
+                tail_release.append(prev_front)
+            prev_front = front_next
+            _await_seen()  # no-op unless dedup=False skipped the await
+            seen_fut = io_pool.submit(_tail)
+            release_after_seen = tail_release
+            tr.mark("tail(submit)")
+
             if n_sched == pending_count:
                 segments = [f"frontier/wave={wave + 1}"]
                 consumed = []
                 consumed_rows = 0
+                # DataFrame handoff: the new segment IS the whole next
+                # pending set, and front_next is its live cached frame —
+                # the next wave plans against it directly instead of
+                # waiting for the parquet read-back. Only on the plain
+                # path (no staged seeds/hooks mutating pending outside
+                # the frame), and lineage-reset every few waves so the
+                # logical plan tree stays bounded on long crawls.
+                handoff_streak += 1
+                if (
+                    not staged_seeds
+                    and not self.request_hooks
+                    and handoff_streak % 8 != 0
+                ):
+                    pending_handoff = front_next
+                else:
+                    pending_handoff = None
             else:
+                pending_handoff = None
+                handoff_streak = 0
                 segments = segments + [f"frontier/wave={wave + 1}"]
                 # tombstones: the PRE-hook scheduled keys leave pending
                 # (a hook-dropped request is consumed, never retried).
@@ -830,6 +1011,7 @@ class CrawlEngine:
                     for fut in wave_writes:
                         fut.result()
                     wave_writes = []
+                    frontier_done.wait()  # segment dir must be complete
                     base_rel = f"frontier_base/wave={wave + 1}"
                     io.write_rel(pending_view(), base_rel)
                     segments = [base_rel]
@@ -837,23 +1019,6 @@ class CrawlEngine:
                     consumed_rows = 0
             tr.mark("dedup+seq+frontier")
             next_seq += n_new
-            if cfg.dedup and n_new:  # nothing new -> no seen/bloom jobs
-                def _seen_and_bloom(w: int = wave) -> None:
-                    new_seen = io.read("frontier", w + 1).filter(
-                        F.col("wave") == w + 1
-                    )
-                    io.write(new_seen.select("url_canon"), "seen", w + 1)
-                    # build the delta slice from the url-only seen
-                    # parquet just written — a fraction of the frontier
-                    # dir's bytes
-                    self._bloom_add(io.read("seen", w + 1))
-
-                # the seen table + prune filter are next consumed by the
-                # NEXT wave's dedup phase — run the write+build on the
-                # I/O pool so it overlaps that wave's schedule/fetch/
-                # parse; _await_seen() drains before every consumer
-                seen_fut = io_pool.submit(_seen_and_bloom)
-                tr.mark("seen+bloom(submit)")
 
             n_dedup = max(n_outlinks - n_new, 0)
             for r in mrows:
@@ -881,10 +1046,12 @@ class CrawlEngine:
             else:
                 pending_count = pending_count - n_sched + n_retried + n_new
             if cfg.track_spiders:
-                # pending_view reads this wave's consumed tombstones:
-                # drain the overlapped writes first (no-op if done)
+                # pending_view reads this wave's consumed tombstones
+                # AND the new frontier segment: drain the overlapped
+                # writes and the tail's frontier stage first
                 for fut in wave_writes:
                     fut.result()
+                frontier_done.wait()
                 nxt = pending_view()
                 spider_pending = {
                     int(r["spider_id"]): r["cnt"]
@@ -932,16 +1099,16 @@ class CrawlEngine:
                         "consumed_rows": consumed_rows,
                     }
                 )
-            for df in (
-                selected, parse_out, *drain_seq_caches(), *self._wave_caches
-            ):
-                df.unpersist()
-            self._wave_caches = []
+            # NOTE: this wave's caches are NOT swept here — the tail
+            # task still reads them; _await_seen() releases them when
+            # the tail lands (at the next wave's dedup point or below)
 
-        _await_seen()  # terminal wave's overlapped seen slice, if any
+        _await_seen()  # terminal wave's overlapped tail, if any
         for df in (*drain_seq_caches(), *self._wave_caches):
             df.unpersist()  # caches from injections on terminal waves
         self._wave_caches = []
+        if prev_front is not None:
+            prev_front.unpersist()  # last wave's handoff frame
         for sid, sp in self.spiders.items():
             if not cfg.track_spiders or sid not in closed_spiders:
                 sp.close()  # forced close at shutdown (manager.rs:208-237)
@@ -962,6 +1129,7 @@ class CrawlEngine:
             }
         )
         io_pool.shutdown(wait=True)
+        _aqe(True)  # restore the session's adaptive setting
         stats.wall_s = time.monotonic() - t_start
         return stats
 

@@ -15,13 +15,24 @@ cumulative sum) — the classic scalable zip-with-index.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ironspark.url import with_canonical
 
+_TRACE = os.environ.get("IRONSPARK_TRACE", "") not in ("", "0")
+
+# NOTE: no `wave` data column — a frontier row's wave is its segment
+# directory (frontier/wave=N), and order/items tables likewise derive
+# wave from their partition directory at read time. Keeping it out of
+# the data keeps every per-wave plan literal-free, so whole-stage
+# codegen compiles ONCE per plan shape instead of once per wave
+# (wave-varying int literals inline into the generated source).
 _FRONTIER_COLS = [
-    "url_canon", "url", "host", "spider_id", "seq", "wave", "attempt",
+    "url_canon", "url", "host", "spider_id", "seq", "attempt",
     "method", "headers", "body", "meta", "status",
 ]
 
@@ -37,7 +48,11 @@ def drain_seq_caches() -> list:
 
 
 def with_global_seq(
-    df: DataFrame, order_cols: list[str], base_seq: int = 0, out: str = "seq"
+    df: DataFrame,
+    order_cols: list[str],
+    base_seq: int = 0,
+    out: str = "seq",
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense global 1-based sequence by order_cols, offset by base_seq.
 
@@ -45,37 +60,73 @@ def with_global_seq(
     offset computation for free (callers use it as the enqueue count).
 
     order_cols must be a unique total order. Three parallel steps:
-    range-repartition by the order (distributed sort), per-partition
-    row_number (parallel window), per-partition offsets via a tiny
+    contiguous-run bucketing by the leading order column, per-bucket
+    row_number (parallel window), per-bucket offsets via a tiny
     count-collect. No single-partition global window anywhere.
 
-    The INPUT is persisted first: repartitionByRange runs a range-
-    boundary SAMPLING job that executes its whole child plan — without
-    the cache the upstream (dedup groupBy + seen anti-join) ran twice
-    per wave (measured: the dedup+seq phase was flat across core counts
-    because of it).
+    Bucketing strategies (both give buckets that are contiguous runs of
+    the total order, which is all the offset cumsum needs):
+
+    * ``bounds=(lo, hi)`` — KNOWN bounds of order_cols[0]: the bucket
+      id is a pure column expression, linear in the leading key. ONE
+      job materializes the input (the count); this is the wave hot
+      path — the engine gets the bounds for free from the fused
+      metrics pass (wave_metrics_fine ps_min/ps_max).
+    * ``bounds=None`` — repartitionByRange: adds the range-boundary
+      SAMPLING job, which executes the whole child plan a second time.
+      Kept for callers with no cheap bounds (seed numbering).
+
+    The INPUT is persisted first so the sampling/count job's execution
+    of the child plan (dedup groupBy + seen anti-join) is not repeated
+    by the later consumer of the returned frame.
     """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     src = df.persist()
     _SEQ_CACHES.append(src)
-    d = src.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    if bounds is not None and bounds[0] is not None and bounds[1] is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+        span = max(hi - lo + 1, 1)
+        lead = F.col(order_cols[0])
+        pid = F.least(
+            F.lit(nparts - 1),
+            F.greatest(
+                F.lit(0),
+                ((lead - F.lit(lo)) * F.lit(nparts) / F.lit(span)).cast("int"),
+            ),
+        )
+        d = src.withColumn("_pid", pid)
+    else:
+        d = src.repartitionByRange(
+            nparts, *[F.col(c) for c in order_cols]
+        ).withColumn("_pid", F.spark_partition_id())
     d = d.persist()
     _SEQ_CACHES.append(d)
-    counts = dict(d.groupBy("_pid").count().collect())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    if _TRACE:
+        t0 = time.monotonic()
+        q = d.groupBy("_pid").count()
+        q._jdf.queryExecution().executedPlan()  # force analyze+optimize+plan
+        t1 = time.monotonic()
+        counts = dict(q.collect())
+        t2 = time.monotonic()
+        print(f"[trace]   seq: plan={t1 - t0:.2f}s exec={t2 - t1:.2f}s",
+              flush=True)
+    else:
+        counts = dict(d.groupBy("_pid").count().collect())
+    acc = 0
+    offs = [0] * nparts
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
     w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # ONE array literal (a codegen reference object, not an inlined
+    # constant — keeps the write plan's generated source identical
+    # across waves) carrying base_seq folded into every offset
     off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+        F.lit([int(base_seq + o) for o in offs]), F.col("_pid") + 1
+    )
     out_df = (
         d.withColumn("_rn", F.row_number().over(w))
-        .withColumn(out, (F.lit(base_seq) + off_expr + F.col("_rn")).cast("long"))
+        .withColumn(out, (off_expr + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn")
     )
     return out_df, acc
@@ -91,10 +142,9 @@ def _first_per_url(f: DataFrame) -> DataFrame:
     )
 
 
-def _finish_frontier(f: DataFrame, wave: int) -> DataFrame:
+def _finish_frontier(f: DataFrame) -> DataFrame:
     return (
-        f.withColumn("wave", F.lit(wave))
-        .withColumn("attempt", F.lit(0))
+        f.withColumn("attempt", F.lit(0))
         .withColumn("method", F.lit("GET"))
         .withColumn("headers", F.lit(None).cast("map<string,string>"))
         .withColumn("body", F.lit(None).cast("string"))
@@ -105,7 +155,7 @@ def _finish_frontier(f: DataFrame, wave: int) -> DataFrame:
 
 
 def seeds_to_frontier(
-    seeds: DataFrame, dedup: bool = True, base_seq: int = 0, wave: int = 0
+    seeds: DataFrame, dedup: bool = True, base_seq: int = 0
 ) -> tuple[DataFrame, int]:
     """Seed rows -> (wave-0 pending frontier with deterministic seq,
     total seed rows numbered).
@@ -123,7 +173,7 @@ def seeds_to_frontier(
     f, total = with_global_seq(f, ["spider_id", "seed_rank", "url_canon"], base_seq)
     if dedup:
         f = _first_per_url(f)
-    return _finish_frontier(f, wave=wave), total
+    return _finish_frontier(f), total
 
 
 def prepare_candidates(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
@@ -160,9 +210,15 @@ def prepare_candidates(outlinks: DataFrame, dedup: bool = True) -> DataFrame:
 
 
 def enqueue_outlinks(
-    candidates: DataFrame, base_seq: int, wave: int
+    candidates: DataFrame,
+    base_seq: int,
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Canonicalized (and seen-filtered) candidates -> (pending frontier
-    rows with seq continuing the global FIFO, row count)."""
-    f, n = with_global_seq(candidates, ["parent_seq", "link_index"], base_seq)
-    return _finish_frontier(f.drop("parent_seq", "link_index"), wave=wave), n
+    rows with seq continuing the global FIFO, row count). bounds =
+    (min, max) parent_seq of the wave's outlinks when known (fused
+    metrics pass) — elides the range-sampling job."""
+    f, n = with_global_seq(
+        candidates, ["parent_seq", "link_index"], base_seq, bounds=bounds
+    )
+    return _finish_frontier(f.drop("parent_seq", "link_index")), n

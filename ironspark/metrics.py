@@ -56,6 +56,13 @@ def wave_metrics_fine(parse_out: DataFrame) -> DataFrame:
         F.sum((F.col("kind") == "request").cast("long")).alias("outlinks"),
         F.sum(F.when(is_resp, F.col("bytes_req")).otherwise(0)).alias("bytes_req"),
         F.sum(F.when(is_resp, F.col("bytes_resp")).otherwise(0)).alias("bytes_resp"),
+        # parent_seq bounds of the wave's outlinks, piggybacked on the
+        # same pass: they parameterize the enqueue's monotone bucket
+        # partitioner (frontier.with_global_seq bounds=), replacing the
+        # range-sampling job that used to re-execute the whole
+        # candidate chain once per wave
+        F.min(F.when(F.col("kind") == "request", F.col("parent_seq"))).alias("ps_min"),
+        F.max(F.when(F.col("kind") == "request", F.col("parent_seq"))).alias("ps_max"),
     )
 
 
@@ -67,10 +74,11 @@ def rollup_wave_metrics(
     t_parse_ms: float,
 ) -> tuple[list[dict], dict[int, int]]:
     """(metrics rows per METRICS_SCHEMA incl. the -1 rollup row,
-    {resp_status: count}) from the fine collect — pure driver-side
-    arithmetic over ~partitions x statuses rows."""
+    {resp_status: count}, (ps_min, ps_max)) from the fine collect —
+    pure driver-side arithmetic over ~partitions x statuses rows."""
     per_part: dict[int, dict] = {}
     status_counts: dict[int, int] = {}
+    ps_min = ps_max = None
     for r in fine_rows:
         p = int(r["partition_id"])
         d = per_part.setdefault(p, {c: 0 for c in _SUM_COLS})
@@ -79,6 +87,12 @@ def rollup_wave_metrics(
         if r["resp_status"] is not None and r["scheduled"]:
             s = int(r["resp_status"])
             status_counts[s] = status_counts.get(s, 0) + int(r["scheduled"])
+        if r["ps_min"] is not None:
+            v = int(r["ps_min"])
+            ps_min = v if ps_min is None else min(ps_min, v)
+        if r["ps_max"] is not None:
+            v = int(r["ps_max"])
+            ps_max = v if ps_max is None else max(ps_max, v)
     base = {f.name: 0 for f in METRICS_SCHEMA.fields}
     mrows = []
     for p in sorted(per_part):
@@ -91,7 +105,7 @@ def rollup_wave_metrics(
     roll.update(wave=wave, partition_id=-1, deduped=int(deduped_count),
                 t_fetch_ms=float(t_fetch_ms), t_parse_ms=float(t_parse_ms))
     mrows.append(roll)
-    return mrows, status_counts
+    return mrows, status_counts, (ps_min, ps_max)
 
 
 def wave_metrics(

@@ -52,7 +52,8 @@ FRONTIER_SCHEMA = StructType(
         StructField("host", StringType()),
         StructField("spider_id", LongType()),
         StructField("seq", LongType()),
-        StructField("wave", IntegerType()),
+        # NOTE: wave is NOT a data column — it is the segment directory
+        # (frontier/wave=N), derived by partition discovery on read
         StructField("attempt", IntegerType()),
         StructField("method", StringType()),
         StructField("headers", MapType(StringType(), StringType())),
@@ -117,7 +118,7 @@ ITEMS_SCHEMA = StructType(
         StructField("author", StringType()),
         StructField("number", LongType()),
         StructField("text", StringType()),
-        StructField("wave", IntegerType()),
+        # wave comes from the partition directory (items/wave=N) on read
     ]
 )
 
@@ -148,10 +149,24 @@ METRICS_SCHEMA = StructType(
 
 SEEN_SCHEMA = StructType([StructField("url_canon", StringType())])
 
+# merge-on-read tombstones: the (seq, attempt) keys scheduled so far
+CONSUMED_SCHEMA = StructType(
+    [StructField("seq", LongType()), StructField("attempt", IntegerType())]
+)
+
+# per-wave status histogram (monitor M2 pane)
+STATUS_SCHEMA = StructType(
+    [
+        StructField("wave", IntegerType()),
+        StructField("resp_status", IntegerType()),
+        StructField("count", LongType()),
+    ]
+)
+
+# wave comes from the partition directory (order/wave=N) on read
 CRAWL_ORDER_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
-        StructField("wave", IntegerType()),
         StructField("url_canon", StringType()),
     ]
 )

@@ -19,10 +19,20 @@ from ironspark.schemas import ITEMS_SCHEMA, METRICS_SCHEMA
 
 
 def stream_items(spark: SparkSession, run_dir: str) -> DataFrame:
-    """readStream over the crawl's items table (append-only wave dirs)."""
+    """readStream over the crawl's items table (append-only wave dirs).
+
+    Item files carry no wave data column (engine plan-stability note,
+    ironspark/frontier.py); the wave is the partition directory, so the
+    stream schema declares it and basePath discovery fills it in."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [*ITEMS_SCHEMA.fields, StructField("wave", IntegerType())]
+    )
     return (
-        spark.readStream.schema(ITEMS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
+        .option("basePath", f"{run_dir}/items")
         .parquet(f"{run_dir}/items/wave=*")
     )
 
