@@ -87,15 +87,23 @@ def with_global_seq(
         lo, hi = int(bounds[0]), int(bounds[1])
         span = max(hi - lo + 1, 1)
         lead = F.col(order_cols[0])
+        # 8x more buckets than partitions: the window stage places
+        # BUCKETS on shuffle partitions by hash, and with exactly
+        # nparts bucket ids the collisions leave some partitions with
+        # 2-3 buckets and others empty (measured as window-stage skew
+        # at the 400k scale); oversampling smooths the placement the
+        # way repartitionByRange's exact ranges did
+        nbuckets = nparts * 8
         pid = F.least(
-            F.lit(nparts - 1),
+            F.lit(nbuckets - 1),
             F.greatest(
                 F.lit(0),
-                ((lead - F.lit(lo)) * F.lit(nparts) / F.lit(span)).cast("int"),
+                ((lead - F.lit(lo)) * F.lit(nbuckets) / F.lit(span)).cast("int"),
             ),
         )
         d = src.withColumn("_pid", pid)
     else:
+        nbuckets = nparts
         d = src.repartitionByRange(
             nparts, *[F.col(c) for c in order_cols]
         ).withColumn("_pid", F.spark_partition_id())
@@ -113,7 +121,7 @@ def with_global_seq(
     else:
         counts = dict(d.groupBy("_pid").count().collect())
     acc = 0
-    offs = [0] * nparts
+    offs = [0] * nbuckets
     for p in sorted(counts):
         offs[p] = acc
         acc += counts[p]
