@@ -97,5 +97,13 @@ class EngineConfig:
     skew_salt_buckets: int = 8
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1  # waves between checkpoints
+    # Overlap the durable tail (frontier segment + seen delta + bloom
+    # slice, one chained I/O-pool task) with the next wave's compute.
+    # False = run it synchronously at the wave boundary (ablation knob).
+    overlap_tail: bool = True
+    # Hand the fast-path pending set to the next wave as a lineage-
+    # truncated live DataFrame instead of the parquet read-back.
+    # False = always re-read the segment (ablation knob).
+    pending_handoff: bool = True
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)

@@ -956,8 +956,13 @@ class CrawlEngine:
                 tail_release.append(prev_front)
             prev_front = front_next
             _await_seen()  # no-op unless dedup=False skipped the await
-            seen_fut = io_pool.submit(_tail)
-            release_after_seen = tail_release
+            if cfg.overlap_tail:
+                seen_fut = io_pool.submit(_tail)
+                release_after_seen = tail_release
+            else:  # ablation: synchronous tail at the wave boundary
+                _tail()
+                for df in tail_release:
+                    df.unpersist()
             tr.mark("tail(submit)")
 
             if n_sched == pending_count:
@@ -973,7 +978,8 @@ class CrawlEngine:
                 # logical plan tree stays bounded on long crawls.
                 handoff_streak += 1
                 if (
-                    not staged_seeds
+                    cfg.pending_handoff
+                    and not staged_seeds
                     and not self.request_hooks
                     and handoff_streak % 8 != 0
                 ):
