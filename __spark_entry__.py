@@ -395,6 +395,14 @@ def _t_jaccard_pairs(spark, sf):
     return jaccard_pairs(docs, lsh_candidate_pairs(docs, bands=4))
 
 
+def _t_dup_clusters(spark, sf):
+    from ironspark.textops import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf, "documents"), threshold=0.5, bands=4
+    )
+
+
 def _t_simhash(spark, sf):
     from ironspark.textops import simhash
 
@@ -728,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dup_ngrams": _t_dup_ngrams,
         "t_vocab_topk": _t_vocab_topk,
         "t_pii_scrub": _t_pii_scrub,
+        "t_dup_clusters": _t_dup_clusters,  # new in round 4
         "m1_counter_sums": _m1_counter_sums,
         "m2_status_histogram": _m2_status_histogram,
         "m3_error_histogram": _m3_error_histogram,
@@ -818,6 +827,24 @@ _SIG_CTE = (
     ", small AS (SELECT band, minhash FROM sig GROUP BY band, minhash "
     "HAVING COUNT(*) > 1 AND COUNT(*) <= 50)"
     ", sigf AS (SELECT sig.* FROM sig JOIN small USING (band, minhash))"
+)
+
+
+# exact word-set Jaccard over the LSH candidate pairs (shared by the
+# t_jaccard_pairs oracle and, as a CTE body, by t_dup_clusters)
+_JACCARD_SQL = (
+    "WITH " + _SIG_CTE + ", " + _WORDS_CTE + ", "
+    "wd AS (SELECT DISTINCT doc_id, word FROM w), pairs AS ("
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sigf a JOIN sigf b USING (band, minhash) WHERE a.doc_id < b.doc_id), "
+    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
+    "JOIN wd wa ON wa.doc_id = p.doc_a JOIN wd wb ON wb.doc_id = p.doc_b "
+    "AND wb.word = wa.word GROUP BY p.doc_a, p.doc_b), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM wd GROUP BY doc_id) "
+    "SELECT i.doc_a, i.doc_b, "
+    "ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) AS jaccard "
+    "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+    "JOIN sizes sb ON sb.doc_id = i.doc_b"
 )
 
 
@@ -1001,19 +1028,20 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + _SIG_CTE + " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM sigf a JOIN sigf b USING (band, minhash) WHERE a.doc_id < b.doc_id"
         ),
-        "t_jaccard_pairs": (
-            "WITH " + _SIG_CTE + ", " + _WORDS_CTE + ", "
-            "wd AS (SELECT DISTINCT doc_id, word FROM w), pairs AS ("
-            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM sigf a JOIN sigf b USING (band, minhash) WHERE a.doc_id < b.doc_id), "
-            "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM pairs p "
-            "JOIN wd wa ON wa.doc_id = p.doc_a JOIN wd wb ON wb.doc_id = p.doc_b "
-            "AND wb.word = wa.word GROUP BY p.doc_a, p.doc_b), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM wd GROUP BY doc_id) "
-            "SELECT i.doc_a, i.doc_b, "
-            "ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) AS jaccard "
-            "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
-            "JOIN sizes sb ON sb.doc_id = i.doc_b"
+        "t_jaccard_pairs": _JACCARD_SQL,
+        # connected components over the verified pair graph: DuckDB
+        # computes the transitive closure with a recursive CTE and
+        # labels each doc with the min reachable id — exactly the
+        # fixpoint the Spark min-label propagation converges to
+        "t_dup_clusters": (
+            "WITH RECURSIVE jac AS (" + _JACCARD_SQL + "), "
+            "jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5), "
+            "ed AS (SELECT doc_a AS u, doc_b AS v FROM jp "
+            "UNION SELECT doc_b, doc_a FROM jp), "
+            "reach(u, v) AS (SELECT u, v FROM ed "
+            "UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u) "
+            "SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+            "FROM reach GROUP BY u"
         ),
         "t_simhash": (
             "WITH " + _WORDS_CTE + ", h AS (SELECT doc_id, "

@@ -30,8 +30,12 @@ from ironspark.config import EngineConfig
 from ironspark.schemas import PARSE_OUT_SCHEMA
 from ironspark.url import canonicalize_series, host_series
 
+# slim Arrow input: url_canon is NOT shipped (nothing in the pass reads
+# it — outlink canonicalization recomputes from out_url, and the resp
+# lineage keys on seq). Every string dropped here is corpus-sized
+# Arrow traffic per wave.
 _PARSE_IN_COLS = [
-    "url", "url_canon", "host", "spider_id", "seq", "resp_status",
+    "url", "host", "spider_id", "seq", "resp_status",
     "body_bytes", "attempt", "bytes_req", "bytes_resp", "set_cookie",
 ]
 _OUT_COLS = [f.name for f in PARSE_OUT_SCHEMA.fields]
@@ -75,8 +79,16 @@ def parse_responses(
                     "retryable": (~ok & (pdf["attempt"].astype("int64") < max_retry)).values,
                     "bytes_req": pdf["bytes_req"].values,
                     "bytes_resp": pdf["bytes_resp"].values,
-                    "src_url": pdf["url"].values,
-                    "host": pdf["host"].values,
+                    # hash-only lineage: resp rows key on parent_seq;
+                    # src_url has no resp-side consumer and host is
+                    # needed only where a cookie was actually set —
+                    # dropping the strings shrinks the persisted
+                    # parse_out and its Arrow transfer by two
+                    # corpus-sized string columns per wave
+                    "src_url": None,
+                    "host": pdf["host"].where(
+                        pdf["set_cookie"].notna(), None
+                    ).values,
                     "set_cookie": pdf["set_cookie"].values,
                 }
             )

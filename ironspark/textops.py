@@ -379,3 +379,87 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         .cast("long").alias("n_ips"),
         clean.alias("clean_text"),
     )
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    LSH pair graph; every clustered doc gets cluster_id = the minimum
+    doc_id reachable from it (so keeping one doc per cluster_id is the
+    standard near-dup collapse). Docs in no pair are not returned —
+    they are their own singleton clusters by definition.
+
+    Distributed connected components via iterative min-label
+    propagation: each round every vertex takes the min of its own and
+    its neighbors' labels (one join + one groupBy per round), stopping
+    when a round changes nothing. Rounds needed = component diameter —
+    near-dup components are dense blobs of boilerplate variants, so
+    2-4 rounds in practice. At 10^10 docs swap the propagation body
+    for the large-star/small-star contraction [Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"], which bounds
+    rounds at O(log^2 n) with the same join shape; the driver loop and
+    convergence test are identical.
+    """
+    pairs = jaccard_pairs(documents, lsh_candidate_pairs(documents, bands, k))
+    pairs = (
+        pairs.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    # each round references `labels` three times (neighbor join, own
+    # label, convergence diff) — without lineage TRUNCATION the logical
+    # plan grows ~3x per round and Catalyst itself OOMs by round 10
+    # (same failure mode as the engine's pending handoff; persist alone
+    # caches data but keeps the plan). localCheckpoint caps the plan at
+    # one round; the convergence count materializes it.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("_nb"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("_nb").alias("_nb_min"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nb_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", "cluster_id")
+    edges.unpersist()
+    return out

@@ -162,3 +162,37 @@ def test_vocab_topk_order(spark):
     got = [(r["word"], r["n"]) for r in vocab_topk(df, k=3).collect()]
     # b: 4 (case-folded), a: 3, c: 3 (tie broken bytewise a < c)
     assert got == [("b", 4), ("a", 3), ("c", 3)]
+
+
+def test_near_dup_clusters_semantics(spark):
+    """Connected components over the verified pair graph: transitive
+    chains collapse to one cluster labeled by the min doc_id; docs in
+    no pair are absent (singletons by definition)."""
+    import pandas as pd
+
+    from ironspark.textops import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # cluster {1,2,3}: 1~2 and 2~3 share almost all shingles, 1~3
+        # only transitively
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " two"),          # identical to 2
+        # cluster {10, 11}
+        (10, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (11, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        # singleton: unrelated text, never in a candidate pair
+        (99, "completely different words about spark clusters and parquet"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, threshold=0.5, bands=4).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert 99 not in got
