@@ -45,6 +45,7 @@ def fetch_from_corpus(
     pages: DataFrame,
     redirects: DataFrame | None = None,
     strategy: str = "broadcast",
+    corpus_urls: DataFrame | None = None,
 ) -> DataFrame:
     """scheduled frontier rows -> response rows (status, body bytes).
 
@@ -102,9 +103,14 @@ def fetch_from_corpus(
         hits = corpus.join(
             F.broadcast(gets), corpus["_page_url"] == gets["url_canon"]
         ).drop("_page_url")
+        # miss detection probes a url-only corpus side; callers that
+        # loop (the engine) pass a persisted single-partition
+        # `corpus_urls` so the per-wave broadcast build reads a compact
+        # cache instead of re-scanning parquet every wave
+        url_side = corpus_urls if corpus_urls is not None else pages
         misses = (
             gets.join(
-                F.broadcast(pages.select(F.col("url").alias("_page_url"))),
+                F.broadcast(url_side.select(F.col("url").alias("_page_url"))),
                 gets["url_canon"] == F.col("_page_url"),
                 "left_anti",
             )

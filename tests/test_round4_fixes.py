@@ -81,7 +81,7 @@ def test_invalidate_absent_url_repairs_collision(spark, tmp_path):
     (gate on zeroed entries) so the survivor stays in the prune."""
     run_dir = str(tmp_path / "run")
     eng = _engine(
-        spark, dedup=True, seen_backend="cuckoo", bloom_capacity=1 << 12
+        spark, dedup=True, seen_backend="cuckoo", bloom_capacity=1 << 12, seen_join="shuffle_hash"
     )
     io = make_table_io(spark, run_dir)
     io.write(

@@ -106,6 +106,7 @@ def test_engine_bloom_broadcast_discipline(spark, tmp_path):
     cfg = EngineConfig(
         dedup=True, seen_backend="bloom", bloom_max_slices=2,
         max_waves=10, respect_robots=False, bloom_capacity=1 << 12,
+        seen_join="shuffle_hash",  # exercise the prune path at toy scale
     )
     eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
     stats = eng.run(seeds=seeds, run_dir=str(tmp_path / "bloomrun"))
