@@ -403,6 +403,14 @@ def _t_dup_clusters(spark, sf):
     )
 
 
+def _t_dup_collapse(spark, sf):
+    from ironspark.textops import near_dup_collapse
+
+    return near_dup_collapse(
+        _t(spark, sf, "documents"), threshold=0.5, bands=4
+    )
+
+
 def _t_simhash(spark, sf):
     from ironspark.textops import simhash
 
@@ -737,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_vocab_topk": _t_vocab_topk,
         "t_pii_scrub": _t_pii_scrub,
         "t_dup_clusters": _t_dup_clusters,  # new in round 4
+        "t_dup_collapse": _t_dup_collapse,  # new in round 4
         "m1_counter_sums": _m1_counter_sums,
         "m2_status_histogram": _m2_status_histogram,
         "m3_error_histogram": _m3_error_histogram,
@@ -1042,6 +1051,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u) "
             "SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
             "FROM reach GROUP BY u"
+        ),
+        # dedup collapse: survivors = unclustered docs + each cluster's
+        # min-doc_id representative, with the cluster size attached
+        "t_dup_collapse": (
+            "WITH RECURSIVE jac AS (" + _JACCARD_SQL + "), "
+            "jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5), "
+            "ed AS (SELECT doc_a AS u, doc_b AS v FROM jp "
+            "UNION SELECT doc_b, doc_a FROM jp), "
+            "reach(u, v) AS (SELECT u, v FROM ed "
+            "UNION SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u), "
+            "lab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+            "FROM reach GROUP BY u), "
+            "sizes AS (SELECT cluster_id, COUNT(*) AS n FROM lab "
+            "GROUP BY cluster_id) "
+            "SELECT d.doc_id, CAST(COALESCE(s.n, 1) AS BIGINT) AS n_members "
+            "FROM documents d "
+            "LEFT JOIN lab l ON l.doc_id = d.doc_id "
+            "LEFT JOIN sizes s ON s.cluster_id = d.doc_id "
+            "WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id"
         ),
         "t_simhash": (
             "WITH " + _WORDS_CTE + ", h AS (SELECT doc_id, "

@@ -463,3 +463,38 @@ def near_dup_clusters(
     out = labels.select("doc_id", "cluster_id")
     edges.unpersist()
     return out
+
+
+def near_dup_collapse(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The end-user dedup operation: keep ONE representative per
+    near-dup cluster (the min doc_id — the convention near_dup_clusters
+    labels with) plus every unclustered document, reporting each
+    survivor's cluster size (1 for singletons).
+
+    Scale shape: clusters/sizes are tiny relative to the corpus (only
+    docs that appear in a verified pair), so both joins against the
+    full documents table broadcast; the corpus is scanned once with
+    only doc_id projected.
+    """
+    clusters = near_dup_clusters(documents, threshold, bands, k)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("_n")
+    ).withColumnRenamed("cluster_id", "_cid")
+    return (
+        documents.select("doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("doc_id") == F.col("cluster_id"))
+        )
+        .join(F.broadcast(sizes), F.col("doc_id") == F.col("_cid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(1)).cast("long").alias("n_members"),
+        )
+    )

@@ -128,3 +128,43 @@ def test_metrics_flush_through_tableio(spark, tmp_path, monkeypatch):
     assert io.exists("metrics") and io.exists("status")
     assert io.read("metrics").count() == 1
     assert io.read("status").count() == 1
+
+
+def test_seen_join_regime_resolution(spark):
+    """seen_join=auto switches broadcast -> shuffle_hash at the
+    documented crossover, and the resolved mode shows up in the
+    physical plan: broadcast regime = BroadcastHashJoin with NO bloom
+    tag column; shuffle regime = the pruned split over a shuffled hash
+    join (the plan the 10^10-url crawl needs)."""
+    import pandas as pd
+
+    from ironspark.seen import ShardedBloom
+
+    eng = _engine(spark, seen_broadcast_max_rows=1000)
+    assert eng._resolve_seen_join(seen_rows=1000) == "broadcast"
+    assert eng._resolve_seen_join(seen_rows=1001) == "shuffle_hash"
+    assert eng._resolve_seen_join(seen_rows=None) == "shuffle_hash"
+
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url_canon": [f"http://h/{i}" for i in range(20)]})
+    )
+    seen = spark.createDataFrame(
+        pd.DataFrame({"url_canon": [f"http://h/{i}" for i in range(0, 20, 2)]})
+    )
+    # broadcast regime: map-side anti-join, no prune stage
+    plan_b = eng._filter_new(
+        cand, seen, seen_rows=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b and "LeftAnti" in plan_b
+    assert "_maybe" not in plan_b
+
+    # shuffle regime with live slices: pruned split + shuffled hash join
+    eng._bloom = ShardedBloom(spark, 1 << 12, 0.01, 4)
+    eng._bloom.add_local(["http://h/0"])
+    pruned = eng._filter_new(cand, seen, seen_rows=10**9)
+    plan_s = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_s and "_maybe" not in pruned.columns
+    got = {r.url_canon for r in pruned.collect()}
+    assert got == {f"http://h/{i}" for i in range(1, 20, 2)}
+    for df in eng._wave_caches:
+        df.unpersist()

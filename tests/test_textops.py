@@ -196,3 +196,28 @@ def test_near_dup_clusters_semantics(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
     assert 99 not in got
+
+
+def test_near_dup_collapse_survivors(spark):
+    """Collapse keeps each cluster's min-doc_id representative with its
+    cluster size, and every unclustered doc with n_members=1."""
+    import pandas as pd
+
+    from ironspark.textops import near_dup_collapse
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"), (2, base + " two"), (3, base + " two"),
+        (10, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (11, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (99, "completely different words about spark clusters and parquet"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_members
+        for r in near_dup_collapse(docs, threshold=0.5, bands=4).collect()
+    }
+    assert got == {1: 3, 10: 2, 99: 1}
