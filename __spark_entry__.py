@@ -768,7 +768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_lineitem_agg": _q1_lineitem_agg,
         "skew2p_salted_agg": _skew2p_salted_agg,
         "arr_array_funcs": _arr_array_funcs,
-        "w_lag_running": _w_lag_running,
         "t_exact_dedup": _t_exact_dedup,
         "t_minhash_sig": _t_minhash_sig,
         "t_lsh_pairs": _t_lsh_pairs,
@@ -791,7 +790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
         "a_ivf_index": _a_ivf_index,
+        # -- rotated out of the 50-entry attestation window this round
+        # (all green in r1-r3 driver artifacts; SURVEY §2.12) ---------
         "a_embed_simhash": _a_embed_simhash,
+        "w_lag_running": _w_lag_running,
         "s_set_ops": _s_set_ops,
         "g_rollup": _g_rollup,
         "dt_date_funcs": _dt_date_funcs,

@@ -247,10 +247,34 @@ def main() -> None:
             / median_of(all_runs[a], "big_wave_urls_per_sec")
         ) / ratio
         ca, cb = cleanest(all_runs[a]), cleanest(all_runs[b])
+        # per-rep PAIRED efficiency: rep i's N-core and 4N-core runs are
+        # adjacent in time (round-robin), so each pairing is a
+        # within-era comparison — the cleanest estimator on a host
+        # whose performance drifts between eras that steal% does not
+        # see (round-4 finding, docs/SCALE.md #20). Pooled medians mix
+        # eras across reps; both are disclosed.
+        by_rep_a = {r["rep"]: r for r in all_runs[a]}
+        by_rep_b = {r["rep"]: r for r in all_runs[b]}
+        paired_whole = [
+            round(by_rep_b[i]["urls_per_sec"]
+                  / by_rep_a[i]["urls_per_sec"] / ratio, 3)
+            for i in sorted(set(by_rep_a) & set(by_rep_b))
+        ]
+        paired_steady = [
+            round(by_rep_b[i]["big_wave_urls_per_sec"]
+                  / by_rep_a[i]["big_wave_urls_per_sec"] / ratio, 3)
+            for i in sorted(set(by_rep_a) & set(by_rep_b))
+        ]
         pairs.append({
             "pair": f"{a}v{b}",
             "efficiency_whole_run": round(eff_total, 3),
             "efficiency_steady_state": round(eff_steady, 3),
+            "efficiency_whole_run_paired_per_rep": paired_whole,
+            "efficiency_steady_state_paired_per_rep": paired_steady,
+            "efficiency_whole_run_paired_median": round(
+                statistics.median(paired_whole), 3) if paired_whole else None,
+            "efficiency_steady_state_paired_median": round(
+                statistics.median(paired_steady), 3) if paired_steady else None,
             "efficiency_whole_run_clean_host": round(
                 cb["urls_per_sec"] / ca["urls_per_sec"] / ratio, 3
             ),
@@ -345,7 +369,13 @@ pages/20, run to frontier-empty.
 {primary['efficiency_whole_run']:.3f} / steady-state
 {primary['efficiency_steady_state']:.3f}; clean-host whole-run
 {primary['efficiency_whole_run_clean_host']:.3f} / steady-state
-{primary['efficiency_steady_state_clean_host']:.3f}.**
+{primary['efficiency_steady_state_clean_host']:.3f}; per-rep PAIRED
+(each rep's two settings adjacent in time — the within-era estimator,
+docs/SCALE.md #20) whole-run
+{primary['efficiency_whole_run_paired_per_rep']} (median
+{primary['efficiency_whole_run_paired_median']}), steady-state
+{primary['efficiency_steady_state_paired_per_rep']} (median
+{primary['efficiency_steady_state_paired_median']}).**
 
 "Clean host" pairs the rep with the least hypervisor steal per setting
 (per-rep steal% is measured from /proc/stat and disclosed in
