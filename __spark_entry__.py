@@ -264,6 +264,54 @@ def _x1_exchange_join(spark, sf):
     )
 
 
+def _q2_supplier_region(spark, sf):
+    """Fact-to-dim star join: lineitem joined through the
+    supplier -> nation -> region dimension chain, revenue per
+    (region, nation). The dimension chain is pre-joined and BROADCAST
+    (three dim tables, tiny at any scale next to the fact) so the
+    fact table is scanned once with zero shuffle before the
+    aggregation — the plan that survives a 100 TB lineitem."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    dims = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q3_part_brand(spark, sf):
+    """Selective dim filter pushed through a broadcast join: small
+    parts only (p_size <= 25), revenue + retail-price stats per
+    brand. The part filter prunes the broadcast build side BEFORE the
+    fact scan probes it."""
+    p = _t(spark, sf, "part").filter(F.col("p_size") <= 25)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _q1_lineitem_agg(spark, sf):
     # the classic pricing-summary aggregation (hash agg + filters)
     li = _t(spark, sf, "lineitem")
@@ -746,10 +794,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": _t_pii_scrub,
         "t_dup_clusters": _t_dup_clusters,  # new in round 4
         "t_dup_collapse": _t_dup_collapse,  # new in round 4
+        "q2_supplier_region": _q2_supplier_region,  # new in round 4
+        "q3_part_brand": _q3_part_brand,  # new in round 4
         "m1_counter_sums": _m1_counter_sums,
         "m2_status_histogram": _m2_status_histogram,
         "m3_error_histogram": _m3_error_histogram,
-        "m4_minmax": _m4_minmax,
         "m5_avg": _m5_avg,
         "m6_peak_gauge": _m6_peak_gauge,
         "f2_fifo_order_limit": _f2_fifo_order_limit,
@@ -767,7 +816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_exchange_join": _x1_exchange_join,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "skew2p_salted_agg": _skew2p_salted_agg,
-        "arr_array_funcs": _arr_array_funcs,
         "t_exact_dedup": _t_exact_dedup,
         "t_minhash_sig": _t_minhash_sig,
         "t_lsh_pairs": _t_lsh_pairs,
@@ -794,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all green in r1-r3 driver artifacts; SURVEY §2.12) ---------
         "a_embed_simhash": _a_embed_simhash,
         "w_lag_running": _w_lag_running,
+        "m4_minmax": _m4_minmax,
+        "arr_array_funcs": _arr_array_funcs,
         "s_set_ops": _s_set_ops,
         "g_rollup": _g_rollup,
         "dt_date_funcs": _dt_date_funcs,
@@ -972,6 +1022,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "q2_supplier_region": (
+            "SELECT r_name, n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "q3_part_brand": (
+            "SELECT p_brand, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "ROUND(AVG(p_retailprice), 6) AS avg_retail, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 25 GROUP BY p_brand"
         ),
         "q1_lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
