@@ -73,6 +73,15 @@ class EngineConfig:
     # runtime skew handling to matter. Waves with fewer pending rows
     # than this run the fetch+parse job with static plans.
     aqe_min_pending: int = 65_536
+    # Corpus-scan split sizing: target file-scan tasks per core. Spark's
+    # default split formula (bytes/defaultParallelism, capped at 128 MB)
+    # yields ~1 task per core on sub-GB corpora, so one straggler split
+    # (mega-host pages cluster in files) idles the whole fetch stage
+    # tail. Measured on the fused fetch+parse wave: 65s -> 42s at 2
+    # cores and 16.6s -> 13.3s at 8 just from cutting splits to ~4+/
+    # core. The 128 MB cap makes this a no-op at petabyte corpus sizes,
+    # where the default already produces thousands of splits. 0 = off.
+    scan_tasks_per_core: int = 4
 
     # -- spider admission (src/spider/manager.rs:34-36) ----------------------
     scheduler_holding_threshold: int = 50

@@ -383,6 +383,36 @@ class CrawlEngine:
     def _prepared_pages(self) -> DataFrame:
         return self._pages_view
 
+    def _scan_split_bytes(self) -> int | None:
+        """maxPartitionBytes targeting cfg.scan_tasks_per_core file-scan
+        tasks per core over the fetch corpus, clamped to [4 MB, 128 MB].
+
+        None (= leave the session default) when the override is
+        disabled, there is no file-backed corpus, or sizes can't be
+        read (non-local filesystem) — the 128 MB clamp means a corpus
+        big enough to be remote is also big enough not to need this.
+        """
+        k = self.cfg.scan_tasks_per_core
+        if not k or self.pages is None:
+            return None
+        try:
+            total = 0
+            for uri in self.pages.inputFiles():
+                path = uri
+                if path.startswith("file:"):
+                    path = path[5:]
+                    while path.startswith("//"):
+                        path = path[1:]
+                elif "://" in path:
+                    return None
+                total += os.path.getsize(path)
+        except Exception:
+            return None
+        if total <= 0:
+            return None
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        return min(128 << 20, max(4 << 20, total // (k * par)))
+
     def _prepared_page_urls(self) -> DataFrame | None:
         if self._pages_urls is None and self._pages_view is not None:
             self._pages_urls = (
@@ -584,6 +614,28 @@ class CrawlEngine:
             if _had_aqe:
                 self.spark.conf.set(
                     "spark.sql.adaptive.enabled", "true" if on else "false"
+                )
+
+        # Corpus-scan split sizing (cfg.scan_tasks_per_core): on small
+        # corpora Spark's default split math gives ~1 scan task per
+        # core, so the fetch+parse stage runs at the speed of its
+        # slowest split. Size splits for >=k tasks/core; the 128 MB
+        # cap keeps this inert at real corpus scale. Restored on exit.
+        _prev_mpb = self.spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", None
+        )
+        _mpb = self._scan_split_bytes()
+        if _mpb is not None:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(_mpb))
+
+        def _restore_mpb() -> None:
+            if _mpb is None:
+                return
+            if _prev_mpb is None:
+                self.spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            else:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", _prev_mpb
                 )
 
         # Frontier state is MERGE-ON-READ (the Iceberg pattern on the
@@ -1200,6 +1252,7 @@ class CrawlEngine:
         )
         io_pool.shutdown(wait=True)
         _aqe(True)  # restore the session's adaptive setting
+        _restore_mpb()
         stats.wall_s = time.monotonic() - t_start
         return stats
 

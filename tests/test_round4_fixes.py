@@ -168,3 +168,37 @@ def test_seen_join_regime_resolution(spark):
     assert got == {f"http://h/{i}" for i in range(1, 20, 2)}
     for df in eng._wave_caches:
         df.unpersist()
+
+
+def test_scan_split_sizing(spark, tmp_path):
+    """cfg.scan_tasks_per_core sizes corpus-scan splits for >=k tasks
+    per core (clamped to [4 MB, 128 MB]); disabled/None cases no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    pdir = str(tmp_path / "pages")
+    spark.range(2000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        F.encode(F.lit("x" * 2000), "utf-8").alias("html"),
+        F.current_timestamp().alias("warc_ts"),
+    ).repartition(4).write.parquet(pdir)
+    pages = spark.read.parquet(pdir)
+
+    total = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    eng = CrawlEngine(spark, pages, {1: ArticleSpider()}, EngineConfig())
+    got = eng._scan_split_bytes()
+    assert got == min(128 << 20, max(4 << 20, total // (4 * par)))
+
+    # k=0 disables; no corpus (http fetch mode) disables
+    eng0 = CrawlEngine(
+        spark, pages, {1: ArticleSpider()}, EngineConfig(scan_tasks_per_core=0)
+    )
+    assert eng0._scan_split_bytes() is None
+    assert _engine(spark)._scan_split_bytes() is None
