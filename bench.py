@@ -54,8 +54,8 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.1"
 
 
-def corpus_path(sf: str, n: int) -> str:
-    return os.path.join(CACHE, f"pages_{sf}_{n}_td")
+def corpus_path(sf: str, n: int, files: int) -> str:
+    return os.path.join(CACHE, f"pages_{sf}_{n}_f{files}_td")
 
 
 def _cpu_times() -> tuple[int, int]:
@@ -101,11 +101,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # -- corpus (cached across rounds; generation excluded from timing) ----
-    pdir = corpus_path(sf, n_pages)
+    # 4 files per core: each synth task writes one file with ONE parquet
+    # row group, and row groups are the real unit of scan parallelism —
+    # a 1-file-per-core layout caps every corpus scan at 1 task/core no
+    # matter how maxPartitionBytes is sized (stragglers then idle the
+    # stage tail). Real crawl corpora have thousands of files; this
+    # makes the synthetic layout match that property.
+    n_files = 4 * CPUS
+    pdir = corpus_path(sf, n_pages, n_files)
     if not os.path.isdir(pdir):
         os.makedirs(CACHE, exist_ok=True)
         build_graph_corpus(
-            spark, n_pages, n_hosts=n_hosts, parallelism=CPUS,
+            spark, n_pages, n_hosts=n_hosts, parallelism=n_files,
             mega_share=0.1, filler_words=600, markup_every=2,
         ).write.mode("overwrite").parquet(pdir)
     pages = spark.read.parquet(pdir)

@@ -79,7 +79,10 @@ spark = get_spark("scaling-%d" % M, master="local[%d]" % M, shuffle_partitions=M
 spark.sparkContext.setLogLevel("ERROR")
 
 if not os.path.isdir(PDIR):
-    build_graph_corpus(spark, N, n_hosts=HOSTS, parallelism=32,
+    # 128 output files = one row group each: row groups are the real
+    # unit of scan parallelism, and the settings share this corpus —
+    # 128 gives >=4 real tasks/core even at the local[32] setting
+    build_graph_corpus(spark, N, n_hosts=HOSTS, parallelism=128,
                        mega_share=0.1, filler_words=FILLER,
                        markup_every=MARKUP
                        ).write.mode("overwrite").parquet(PDIR)
@@ -192,7 +195,7 @@ def main() -> None:
 
     os.makedirs(CACHE, exist_ok=True)
     pdir = os.path.join(
-        CACHE, f"pages_scaling_{args.pages}_{args.filler}_{args.markup}"
+        CACHE, f"pages_scaling_{args.pages}_{args.filler}_{args.markup}_f128"
     )
 
     def warm_cache() -> None:

@@ -27,13 +27,13 @@ SF_PAGES = {"0.001": 2_000, "0.01": 12_000, "0.1": 60_000, "1": 400_000}
 n_pages = SF_PAGES[SF]
 n_hosts = max(n_pages // 100, 20)
 CACHE = "/tmp/ironspark_bench"
-pdir = os.path.join(CACHE, f"pages_{SF}_{n_pages}_td")
+pdir = os.path.join(CACHE, f"pages_{SF}_{n_pages}_f128_td")
 
 spark = get_spark("trace", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 spark.sparkContext.setLogLevel("ERROR")
 if not os.path.isdir(pdir):
     os.makedirs(CACHE, exist_ok=True)
-    build_graph_corpus(spark, n_pages, n_hosts=n_hosts, parallelism=CPUS,
+    build_graph_corpus(spark, n_pages, n_hosts=n_hosts, parallelism=128,
                        mega_share=0.1, filler_words=600, markup_every=2
                        ).write.mode("overwrite").parquet(pdir)
 pages = spark.read.parquet(pdir)
