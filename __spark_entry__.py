@@ -511,6 +511,33 @@ def _t_pii_scrub(spark, sf):
     return pii_scrub(_t(spark, sf, "documents"))
 
 
+def _t_decontaminate(spark, sf):
+    from ironspark.textops import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    # deterministic stand-in benchmark set: every 97th document plays
+    # the eval suite; contamination = sharing any 8-gram with it
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+def _t_gopher_quality(spark, sf):
+    from ironspark.textops import gopher_quality
+
+    # min_words=20 / min_stop_hits=1 so the short synthetic docs (one
+    # in-list stopword in their vocab) split into a real keep/drop
+    # mix (367/133 at sf0.01); other thresholds are the Gopher defaults
+    return gopher_quality(
+        _t(spark, sf, "documents"), min_words=20, min_stop_hits=1
+    )
+
+
+def _t_tfidf_topk(spark, sf):
+    from ironspark.textops import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -780,14 +807,16 @@ def _a_ivf_index(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
     # entries per round and CORRECTNESS_r0{2,3}.json pinned at exactly
-    # 50 rows while this dict grew to 54 — so the 4 entries added in
-    # round 3 (a_near_dup, t_dup_ngrams, t_vocab_topk, t_pii_scrub,
-    # all green under scripts/driver_gate.py locally) are rotated to
-    # the FRONT, and 4 long-attested relational entries (s_set_ops,
-    # g_rollup, dt_date_funcs, j_json_extract — green in r1-r3) rotate
-    # to the back. Every entry stays shipped; only attestation order
-    # changes.
+    # 50 rows while this dict grew to 54 — so entries never yet (or
+    # most recently) driver-attested rotate to the FRONT and
+    # long-attested simple entries rotate to the back (round 4 adds
+    # m5_avg, p5_regexp_extract, l1_registration to the tail — green
+    # in r1-r3 driver artifacts). Every entry stays shipped and green
+    # under scripts/driver_gate.py; only attestation order changes.
     return {
+        "t_decontaminate": _t_decontaminate,  # new in round 4
+        "t_gopher_quality": _t_gopher_quality,  # new in round 4
+        "t_tfidf_topk": _t_tfidf_topk,  # new in round 4
         "a_near_dup": _a_near_dup,
         "t_dup_ngrams": _t_dup_ngrams,
         "t_vocab_topk": _t_vocab_topk,
@@ -799,7 +828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_counter_sums": _m1_counter_sums,
         "m2_status_histogram": _m2_status_histogram,
         "m3_error_histogram": _m3_error_histogram,
-        "m5_avg": _m5_avg,
         "m6_peak_gauge": _m6_peak_gauge,
         "f2_fifo_order_limit": _f2_fifo_order_limit,
         "f3_politeness_topk": _f3_politeness_topk,
@@ -809,10 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_status_filter": _d2_status_filter,
         "d3_error_classify": _d3_error_classify,
         "d4_wire_size": _d4_wire_size,
-        "p5_regexp_extract": _p5_regexp_extract,
         "p7_antijoin_dedup": _p7_antijoin_dedup,
         "p8_canonicalize": _p8_canonicalize,
-        "l1_registration": _l1_registration,
         "x1_exchange_join": _x1_exchange_join,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "skew2p_salted_agg": _skew2p_salted_agg,
@@ -840,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_ivf_index": _a_ivf_index,
         # -- rotated out of the 50-entry attestation window this round
         # (all green in r1-r3 driver artifacts; SURVEY §2.12) ---------
+        "m5_avg": _m5_avg,
+        "p5_regexp_extract": _p5_regexp_extract,
+        "l1_registration": _l1_registration,
         "a_embed_simhash": _a_embed_simhash,
         "w_lag_running": _w_lag_running,
         "m4_minmax": _m4_minmax,
@@ -1200,6 +1229,52 @@ def oracle_sql() -> dict[str, str]:
             "'" + _PII_PHONE_SQL + "', '<PHONE>', 'g'), "
             "'" + _PII_IP_SQL + "', '<IP>', 'g') AS clean_text "
             "FROM documents"
+        ),
+        "t_decontaminate": (
+            "WITH wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 7, 0)), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' "
+            "|| ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]"
+            ")) AS shingle FROM wl), "
+            "bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits "
+            "FROM sh s JOIN bench b USING (shingle) GROUP BY s.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        "t_gopher_quality": (
+            "WITH wl AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "m AS (SELECT doc_id, len(ws) AS n_words, "
+            "LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws, "
+            "len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha, "
+            "len(list_filter(['the','and','of','to','in','is','that','it','for','was'], "
+            "s -> list_contains(ws, s))) AS n_stop FROM wl) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "ROUND(n_nonws * 1.0 / GREATEST(n_words, 1), 6) AS mean_word_len, "
+            "ROUND(n_alpha * 1.0 / GREATEST(n_words, 1), 6) AS alpha_ratio, "
+            "CAST(n_stop AS BIGINT) AS n_stop_hits, "
+            "((n_words BETWEEN 20 AND 100000) "
+            "AND (n_nonws * 1.0 / GREATEST(n_words, 1) >= 3.0) "
+            "AND (n_nonws * 1.0 / GREATEST(n_words, 1) <= 10.0) "
+            "AND (n_alpha * 1.0 / GREATEST(n_words, 1) >= 0.8) "
+            "AND (n_stop >= 1)) AS keep FROM m"
+        ),
+        "t_tfidf_topk": (
+            "WITH " + _WORDS_CTE + ", "
+            "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word), "
+            "df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "s AS (SELECT doc_id, word, tf, "
+            "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf "
+            "FROM tf JOIN df USING (word) CROSS JOIN n), "
+            "r AS (SELECT doc_id, word, tf, tfidf, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM s) "
+            "SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, "
+            "ROUND(tfidf, 6) AS tfidf, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3"
         ),
         "a_cosine_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], "

@@ -498,3 +498,134 @@ def near_dup_collapse(
             F.coalesce(F.col("_n"), F.lit(1)).cast("long").alias("n_members"),
         )
     )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-report n-gram overlap
+    rule): flag every training document that shares at least one n-word
+    shingle with an evaluation/benchmark text set, with the count of
+    distinct overlapping shingles.
+
+    Scale: benchmark suites are tiny (MBs) next to a 100 TB corpus, so
+    the benchmark's distinct shingle-hash set is BROADCAST and the
+    corpus side is one shingle pass + broadcast semi-join — the corpus
+    is never shuffled by shingle; only the (usually sparse) matching
+    (doc_id, hash) rows reach the per-doc count aggregate.
+    """
+    bench = (
+        _shingles(benchmark, n)
+        .select(_md5num(F.col("shingle")).alias("sh_hash"))
+        .distinct()
+    )
+    hits = (
+        _shingles(documents, n)
+        .select("doc_id", _md5num(F.col("shingle")).alias("sh_hash"))
+        .join(F.broadcast(bench), "sh_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh_hash").alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    subset expressible over whitespace tokens): word-count bounds, mean
+    word length bounds, alphabetic-word ratio, and a must-contain-
+    stopwords rule, combined into one keep/drop flag.
+
+    Scale: pure column arithmetic over one projection — no explode, no
+    shuffle, whole-stage codegen end to end. This is the cheap first
+    filter a 100 TB curation pass runs before any pairwise machinery.
+    """
+    ws = F.filter(F.split(F.lower(F.col("text")), _WS), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    d = documents.select("doc_id", ws.alias("_ws"), F.col("text"))
+    n_words = F.size("_ws")
+    denom = F.greatest(n_words, F.lit(1))
+    # total non-whitespace chars / words == mean token length, without
+    # a second pass over the token array
+    mean_len = (
+        F.length(F.regexp_replace("text", _WS, "")) / denom
+    )
+    alpha_ratio = (
+        F.size(F.filter(F.col("_ws"), lambda x: x.rlike("[a-z]"))) / denom
+    )
+    # distinct stopwords PRESENT (not occurrences): iterate the tiny
+    # stopword list, probe the token array — unambiguous in both engines
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(F.col("_ws"), s))
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (n_stop >= min_stop_hits)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf: ln((N+1)/(df+1))+1,
+    the scikit-learn convention) — the per-doc keyword/topic signal a
+    curation pipeline uses for domain mixing and clustering.
+
+    Scale: tf is one hash-agg on (doc_id, word); df is a second
+    hash-agg on the (already doc-distinct) tf rows; N rides along as a
+    broadcast 1-row cross join so the plan carries no data-dependent
+    literal. The scoring join shuffles tf by word (df at web scale is
+    vocabulary-sized — too big to broadcast safely), then one window
+    partitioned by doc_id ranks. Ties break bytewise on the word.
+    """
+    tf = (
+        _words(documents)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

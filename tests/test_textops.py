@@ -221,3 +221,90 @@ def test_near_dup_collapse_survivors(spark):
         for r in near_dup_collapse(docs, threshold=0.5, bands=4).collect()
     }
     assert got == {1: 3, 10: 2, 99: 1}
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from ironspark.textops import decontaminate
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    rows = [
+        (1, span + " india juliet kilo lima mike november oscar papa"),
+        (2, "prefix words here " + span + " and a tail of more words"),
+        (3, "totally unrelated content with no overlap whatsoever here"),
+        (4, "short doc"),  # < 8 words: no shingles, never contaminated
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = (
+        decontaminate(docs, bench, n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 IS the benchmark text: every one of its shingles overlaps
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 9
+    # doc 2 embeds the 8-word span verbatim: exactly that one shingle
+    assert bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 1
+    assert not bool(out.loc[3, "contaminated"]) and out.loc[3, "n_hits"] == 0
+    assert not bool(out.loc[4, "contaminated"]) and out.loc[4, "n_hits"] == 0
+
+
+def test_gopher_quality_rules(spark):
+    from ironspark.textops import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox and the lazy dog ran to it for fun in may"] * 2
+    )  # 26 words, mean len ~3.2, all alphabetic, stopwords present
+    rows = [
+        (1, good),
+        (2, "too short for the rule"),  # fails min_words
+        (3, " ".join(["pneumonoultramicroscopic"] * 25)),  # mean len > 10, no stops
+        (4, " ".join(["42"] * 10 + ["the of and to in is that it for was"])),
+        # ^ 20 words but half non-alphabetic -> alpha_ratio 0.5 fails
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = (
+        gopher_quality(docs, min_words=20)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "keep"]) and out.loc[2, "n_words"] == 5
+    assert not bool(out.loc[3, "keep"])
+    assert out.loc[3, "mean_word_len"] > 10 and out.loc[3, "n_stop_hits"] == 0
+    assert not bool(out.loc[4, "keep"])
+    assert abs(out.loc[4, "alpha_ratio"] - 0.5) < 1e-9
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    from ironspark.textops import tfidf_topk
+
+    rows = [
+        (1, "common common common zebra"),
+        (2, "common words here too"),
+        (3, "common thing again common"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = tfidf_topk(docs, k=2).toPandas()
+    # exactly k rows per doc (docs have >= 2 distinct words)
+    assert (out.groupby("doc_id").size() == 2).all()
+    d1 = out[out["doc_id"] == 1].sort_values("rn")
+    # smooth idf: common has tf=3, df=3 -> 3*(ln(4/4)+1)=3.0;
+    # zebra has tf=1, df=1 -> 1*(ln(4/2)+1)~=1.693 — tf dominates here
+    import math
+
+    tfidf_common = 3 * (math.log(4 / 4) + 1)  # 3.0
+    tfidf_zebra = 1 * (math.log(4 / 2) + 1)  # ~1.693
+    assert d1.iloc[0]["word"] == "common"
+    assert abs(d1.iloc[0]["tfidf"] - round(tfidf_common, 6)) < 1e-9
+    assert d1.iloc[1]["word"] == "zebra"
+    assert abs(d1.iloc[1]["tfidf"] - round(tfidf_zebra, 6)) < 1e-9
+    # rn is dense 1..k in rank order
+    assert list(d1["rn"]) == [1, 2]
