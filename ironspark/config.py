@@ -65,8 +65,17 @@ class EngineConfig:
     # 4M urls ≈ 250 MB of strings ≈ <1 GB hashed per executor;
     # measured at 400k pages: broadcast is 1.2-1.5x faster end-to-end
     # at 2-8 cores and the shuffle only breaks even at 32.
-    seen_join: str = "auto"  # auto | broadcast | shuffle_hash
+    # "flip" replaces the O(seen) driver build with two O(wave)
+    # broadcasts: broadcast the deduped candidate KEYS into a fully
+    # parallel scan of seen (left_semi -> the dupes), then broadcast
+    # the dupes back for the exact anti-join. Serial driver cost
+    # drops from O(seen) — which grows every wave and dominates the
+    # small-wave politeness tail — to O(wave), while the O(seen) work
+    # becomes a scan that scales with cores. "auto" picks flip once
+    # the seen set outgrows the wave (seen_flip_ratio x outlinks).
+    seen_join: str = "auto"  # auto | broadcast | flip | shuffle_hash
     seen_broadcast_max_rows: int = 4_000_000
+    seen_flip_ratio: float = 2.0
     # Heavy-job AQE gate: adaptive execution is worth its sequential
     # re-optimization rounds (measured ~1.4s flat per action,
     # independent of core count) only when the wave is big enough for

@@ -428,27 +428,40 @@ class CrawlEngine:
 
     # -- seen-set backends ---------------------------------------------------
 
-    def _resolve_seen_join(self, seen_rows: int | None) -> str:
+    def _resolve_seen_join(
+        self, seen_rows: int | None, wave_outlinks: int | None = None
+    ) -> str:
         """Resolve cfg.seen_join ("auto") to a physical strategy.
 
-        Regime choice (same pattern as fetch_strategy): broadcast
-        avoids shuffling the candidate side entirely — measured
-        1.2-1.5x faster end-to-end at 2-8 cores with a 400k-url seen
-        table — but rebuilds an O(seen) driver-side hash every wave,
-        which stops being viable as the crawl grows; shuffle_hash
-        keeps O(seen) work distributed (the 10^10-url plan) at the
-        cost of one candidate shuffle per wave. auto switches on the
-        engine's own unique-url counter — NOT on AQE's estimate, which
-        would silently flip strategies mid-crawl and re-plan.
+        Regime choice (same pattern as fetch_strategy), ordered by
+        crawl age: "broadcast" while the seen set is comparable to the
+        wave (early waves — one small driver build, no shuffle of
+        either side); "flip" once seen outgrows the wave
+        (seen_flip_ratio x the wave's outlink count, known for free
+        from the fused metrics pass) — two O(wave) broadcasts and a
+        parallel O(seen) scan instead of an O(seen) driver build that
+        would otherwise grow with crawl progress and floor the
+        politeness tail's small waves; "shuffle_hash" beyond
+        seen_broadcast_max_rows — O(seen) stays distributed (the
+        10^10-url plan) at the cost of one candidate shuffle per
+        wave. auto switches on the engine's own counters — NOT on
+        AQE's estimate, which would silently flip strategies mid-crawl
+        and re-plan.
         """
         mode = self.cfg.seen_join
         if mode == "auto":
-            mode = (
-                "broadcast"
-                if seen_rows is not None
-                and seen_rows <= self.cfg.seen_broadcast_max_rows
-                else "shuffle_hash"
-            )
+            if (
+                seen_rows is None
+                or seen_rows > self.cfg.seen_broadcast_max_rows
+            ):
+                mode = "shuffle_hash"
+            elif (
+                wave_outlinks is not None
+                and seen_rows > self.cfg.seen_flip_ratio * wave_outlinks
+            ):
+                mode = "flip"
+            else:
+                mode = "broadcast"
         return mode
 
     def _filter_new(
@@ -456,6 +469,7 @@ class CrawlEngine:
         candidates: DataFrame,
         seen: DataFrame,
         seen_rows: int | None = None,
+        wave_outlinks: int | None = None,
     ) -> DataFrame:
         """Exact anti-join; Bloom/cuckoo-pruned in the shuffle regime.
 
@@ -476,7 +490,7 @@ class CrawlEngine:
         once per branch inside the same job (measured ~2x the dedup
         phase). Released in the wave's unpersist sweep.
         """
-        mode = self._resolve_seen_join(seen_rows)
+        mode = self._resolve_seen_join(seen_rows, wave_outlinks)
         if (
             mode == "shuffle_hash"
             and self.cfg.seen_backend in ("bloom", "cuckoo")
@@ -496,6 +510,25 @@ class CrawlEngine:
                 .join(seen, "url_canon", "left_anti")
             )
             return definite_new.unionByName(confirm)
+        if mode == "flip":
+            # candidates is persisted so the dedup groupBy above it
+            # runs once: the dupes broadcast materializes the cache,
+            # the anti probe then reads it. Both broadcasts are
+            # O(wave); the O(seen) side is only ever SCANNED, in
+            # parallel — nothing about this plan grows a serial cost
+            # with crawl progress.
+            cand = candidates.persist()
+            self._wave_caches.append(cand)
+            dupes = seen.join(
+                F.broadcast(cand.select("url_canon")),
+                "url_canon",
+                "left_semi",
+            )
+            return cand.join(
+                F.broadcast(dupes.select("url_canon")),
+                "url_canon",
+                "left_anti",
+            )
         seen = (
             F.broadcast(seen)
             if mode == "broadcast"
@@ -986,7 +1019,10 @@ class CrawlEngine:
                 tr.mark("await-seen")
                 # next_seq == unique urls enqueued so far == seen rows
                 candidates = self._filter_new(
-                    candidates, io.read_all_waves("seen"), seen_rows=next_seq
+                    candidates,
+                    io.read_all_waves("seen"),
+                    seen_rows=next_seq,
+                    wave_outlinks=n_outlinks,
                 )
             new_front, n_new = enqueue_outlinks(
                 candidates, next_seq, bounds=ps_bounds

@@ -144,6 +144,19 @@ def test_seen_join_regime_resolution(spark):
     assert eng._resolve_seen_join(seen_rows=1000) == "broadcast"
     assert eng._resolve_seen_join(seen_rows=1001) == "shuffle_hash"
     assert eng._resolve_seen_join(seen_rows=None) == "shuffle_hash"
+    # flip regime: seen outgrew the wave (ratio default 2.0) but still
+    # fits under the shuffle crossover
+    assert (
+        eng._resolve_seen_join(seen_rows=1000, wave_outlinks=499) == "flip"
+    )
+    assert (
+        eng._resolve_seen_join(seen_rows=1000, wave_outlinks=500)
+        == "broadcast"
+    )
+    assert (
+        eng._resolve_seen_join(seen_rows=1001, wave_outlinks=10)
+        == "shuffle_hash"
+    )
 
     cand = spark.createDataFrame(
         pd.DataFrame({"url_canon": [f"http://h/{i}" for i in range(20)]})
@@ -157,6 +170,16 @@ def test_seen_join_regime_resolution(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b and "LeftAnti" in plan_b
     assert "_maybe" not in plan_b
+
+    # flip regime: BOTH broadcasts are wave-sized (the seen side is
+    # only scanned); plan shows a semi (dupes) feeding an anti probe,
+    # and the result is exactly the unseen candidates
+    flipped = eng._filter_new(cand, seen, seen_rows=10, wave_outlinks=1)
+    plan_f = flipped._jdf.queryExecution().executedPlan().toString()
+    assert plan_f.count("BroadcastHashJoin") == 2
+    assert "LeftSemi" in plan_f and "LeftAnti" in plan_f
+    got_f = {r.url_canon for r in flipped.collect()}
+    assert got_f == {f"http://h/{i}" for i in range(1, 20, 2)}
 
     # shuffle regime with live slices: pruned split + shuffled hash join
     eng._bloom = ShardedBloom(spark, 1 << 12, 0.01, 4)
