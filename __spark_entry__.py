@@ -538,6 +538,18 @@ def _t_tfidf_topk(spark, sf):
     return tfidf_topk(_t(spark, sf, "documents"), k=3)
 
 
+def _t_stratified_sample(spark, sf):
+    from ironspark.textops import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"))
+
+
+def _t_domain_stats(spark, sf):
+    from ironspark.textops import domain_stats
+
+    return domain_stats(_t(spark, sf, "documents"))
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -823,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_scrub": _t_pii_scrub,
         "t_dup_clusters": _t_dup_clusters,  # new in round 4
         "t_dup_collapse": _t_dup_collapse,  # new in round 4
+        "t_stratified_sample": _t_stratified_sample,  # new in round 4
+        "t_domain_stats": _t_domain_stats,  # new in round 4
         "q2_supplier_region": _q2_supplier_region,  # new in round 4
         "q3_part_brand": _q3_part_brand,  # new in round 4
         "m1_counter_sums": _m1_counter_sums,
@@ -1218,6 +1232,36 @@ def oracle_sql() -> dict[str, str]:
         "t_vocab_topk": (
             "WITH " + _WORDS_CTE + " SELECT word, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM w GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "t_stratified_sample": (
+            "WITH keyed AS (SELECT doc_id, lang, source, "
+            + _MD5NUM_DUCK.format(
+                x="concat_ws('|', CAST(doc_id AS VARCHAR), 'split')"
+            )
+            + " % 1000 AS sample_bucket, "
+            + _MD5NUM_DUCK.format(
+                x="concat_ws('|', CAST(doc_id AS VARCHAR), 'split2')"
+            )
+            + " % 1000 AS split_bucket, "
+            "CASE lang WHEN 'en' THEN 900 WHEN 'de' THEN 500 "
+            "WHEN 'fr' THEN 500 WHEN 'es' THEN 250 ELSE 100 END AS keep_rate "
+            "FROM documents) "
+            "SELECT doc_id, lang, source, "
+            "CAST(sample_bucket AS INT) AS sample_bucket, "
+            "CASE WHEN split_bucket < 980 THEN 'train' "
+            "WHEN split_bucket < 990 THEN 'val' ELSE 'test' END AS split "
+            "FROM keyed WHERE sample_bucket < keep_rate"
+        ),
+        "t_domain_stats": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) "
+            "/ CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio "
+            "FROM documents GROUP BY source"
         ),
         "t_pii_scrub": (
             "SELECT doc_id, "

@@ -629,3 +629,101 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# Default per-language keep rates (per mille) for stratified sampling:
+# the "data mixing" step of a training pipeline — downsample
+# over-represented languages/sources deterministically so the mix is
+# reproducible run-over-run and engine-over-engine (no RNG state).
+SAMPLE_RATES_PER_MILLE = {"en": 900, "de": 500, "fr": 500, "es": 250}
+SAMPLE_DEFAULT_PER_MILLE = 100
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = SAMPLE_DEFAULT_PER_MILLE,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic stratified sampling + train/val/test split.
+
+    Keeps a document iff md5num(doc_id|salt) % 1000 < rate[lang]
+    (per-mille, per-stratum), and assigns the survivors a split label
+    from an independent hash (bucket < 980 train, < 990 val, else
+    test). Hash-threshold sampling is how a web-scale pipeline mixes
+    languages/sources: pure projection + filter, no RNG state, no
+    shuffle, identical sample on re-run and across engines.
+
+    Scale: zero shuffles — the hash, the per-stratum threshold (a
+    CASE over a literal map), and the split label are all map-side;
+    the filter is evaluated inside the scan's codegen stage. At
+    100 TB this is the cheapest possible full-corpus pass.
+    """
+    rates = SAMPLE_RATES_PER_MILLE if rates is None else rates
+    keep_rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        keep_rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(
+            keep_rate
+        )
+    keyed = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.pmod(
+            _md5num(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(salt))),
+            F.lit(1000),
+        ).alias("sample_bucket"),
+        F.pmod(
+            _md5num(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(salt + "2"))
+            ),
+            F.lit(1000),
+        ).alias("split_bucket"),
+        keep_rate.alias("keep_rate"),
+    )
+    return (
+        keyed.filter(F.col("sample_bucket") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("sample_bucket").cast("int").alias("sample_bucket"),
+            F.when(F.col("split_bucket") < 980, "train")
+            .when(F.col("split_bucket") < 990, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def domain_stats(documents: DataFrame, min_docs: int = 1) -> DataFrame:
+    """Per-domain (source) corpus statistics for domain-level curation:
+    doc count, char stats, and the exact-duplicate ratio within the
+    domain — the signals behind "drop mirror/boilerplate domains"
+    rules in web-corpus pipelines.
+
+    Scale: one hash-aggregate by source with map-side partial
+    aggregation; domains number ~1e6-1e8 at web scale, far under the
+    row count, so the post-shuffle side is small. countDistinct on
+    md5(text) expands to an exact two-phase distinct-aggregate —
+    acceptable because it stays inside the same shuffle; swap for
+    approx_count_distinct when a 2% error is tolerable.
+    """
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

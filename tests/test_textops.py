@@ -308,3 +308,54 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     assert abs(d1.iloc[1]["tfidf"] - round(tfidf_zebra, 6)) < 1e-9
     # rn is dense 1..k in rank order
     assert list(d1["rn"]) == [1, 2]
+
+
+def test_stratified_sample_deterministic_and_shuffle_free(spark):
+    from ironspark.textops import stratified_sample
+
+    rows = [
+        (i, f"text {i}", ["en", "de", "es", "und"][i % 4], f"src{i % 3}", 10)
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    )
+    out = stratified_sample(docs)
+    # pure projection + filter: the plan carries no Exchange at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    pdf = out.toPandas()
+    # identical sample on re-run (hash-threshold, no RNG state)
+    pdf2 = stratified_sample(docs).toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(pdf2["doc_id"])
+    # per-stratum rates hold: en keeps ~90%, es ~25%, default ~10%
+    kept = pdf.groupby("lang")["doc_id"].count()
+    assert kept.get("en", 0) > kept.get("es", 0) > kept.get("und", 0)
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    # train dominates the split assignment (98% bucket share)
+    assert (pdf["split"] == "train").mean() > 0.9
+
+
+def test_domain_stats_invariants(spark):
+    from ironspark.textops import domain_stats
+
+    rows = [
+        (1, "a a", "en", "mirror.example", 3),
+        (2, "a a", "en", "mirror.example", 3),  # exact dup within domain
+        (3, "b b", "de", "mirror.example", 3),
+        (4, "c c", "en", "clean.example", 3),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    )
+    out = domain_stats(docs).toPandas().set_index("source")
+    m = out.loc["mirror.example"]
+    assert m["n_docs"] == 3 and m["n_distinct"] == 2
+    assert abs(m["dup_ratio"] - round(1 - 2 / 3, 6)) < 1e-9
+    assert m["n_langs"] == 2 and m["total_chars"] == 9
+    c = out.loc["clean.example"]
+    assert c["n_docs"] == 1 and c["dup_ratio"] == 0.0
