@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Amdahl decomposition of a crawl run from Spark event logs.
+
+Separates the two possible causes of a sub-linear N->4N whole-run
+ratio on a single shared-DRAM box:
+
+* engine serialism — wall time with NO job in flight (driver planning,
+  broadcast builds, commit bookkeeping). If this grew with cores or
+  dominated the run, the ENGINE would be the scaling bottleneck.
+* CPU inflation — total executor task-CPU for the IDENTICAL job list.
+  On one box, more concurrent workers contend for the same memory
+  channels; the same work costs more CPU-seconds at higher
+  parallelism. A real 4x cluster multiplies DRAM channels with cores,
+  so this term vanishes there.
+
+Usage:
+  1. run the job twice with spark.eventLog.enabled=true,
+     spark.eventLog.dir=<dir>, once per parallelism setting;
+  2. python bench/cpu_decomp.py <eventlog-or-dir> <eventlog-or-dir> ...
+
+Prints per-log: task-CPU total, job-covered wall (union of job
+intervals), span, serial gap = span - covered, and the implied
+serial fraction. Spark writes rolling logs zstd-compressed; this
+reads .zstd via the system unzstd or plain json lines.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+
+def _lines(path: str):
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if "appstatus" not in os.path.basename(p)
+        )
+    else:
+        parts = [path]
+    for p in parts:
+        if p.endswith(".zstd"):
+            out = subprocess.run(
+                ["unzstd", "-q", "-c", p], capture_output=True, check=True
+            )
+            for ln in out.stdout.splitlines():
+                yield ln
+        else:
+            with open(p, "rb") as fh:
+                yield from fh
+
+
+def decompose(path: str) -> dict:
+    cpu_ms = 0
+    jobs: dict[int, dict] = {}
+    for raw in _lines(path):
+        try:
+            e = json.loads(raw)
+        except (ValueError, UnicodeDecodeError):
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerTaskEnd":
+            m = e.get("Task Metrics") or {}
+            cpu_ms += m.get("Executor Run Time", 0)
+        elif ev == "SparkListenerJobStart":
+            jobs[e["Job ID"]] = {"t0": e["Submission Time"]}
+        elif ev == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]]["t1"] = e["Completion Time"]
+    done = [(j["t0"], j["t1"]) for j in jobs.values() if "t1" in j]
+    done.sort()
+    covered = 0
+    cs = ce = None
+    for s, t in done:
+        if cs is None:
+            cs, ce = s, t
+        elif s <= ce:
+            ce = max(ce, t)
+        else:
+            covered += ce - cs
+            cs, ce = s, t
+    if cs is not None:
+        covered += ce - cs
+    span = max(t for _, t in done) - min(s for s, _ in done) if done else 0
+    return {
+        "path": path,
+        "jobs": len(done),
+        "task_cpu_s": round(cpu_ms / 1000.0, 1),
+        "job_covered_wall_s": round(covered / 1000.0, 1),
+        "span_s": round(span / 1000.0, 1),
+        "serial_gap_s": round((span - covered) / 1000.0, 1),
+        "serial_fraction": round((span - covered) / span, 4) if span else 0.0,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    rows = [decompose(p) for p in sys.argv[1:]]
+    for r in rows:
+        print(json.dumps(r))
+    if len(rows) == 2:
+        a, b = rows
+        print(
+            f"# CPU inflation {a['task_cpu_s']}s -> {b['task_cpu_s']}s "
+            f"({b['task_cpu_s'] / max(a['task_cpu_s'], 1e-9):.2f}x) for "
+            f"{a['jobs']} vs {b['jobs']} jobs; serial gap "
+            f"{a['serial_gap_s']}s vs {b['serial_gap_s']}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

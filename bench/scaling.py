@@ -55,6 +55,7 @@ M = {cores}
 N = {pages}
 REPEATS = {repeats}
 FETCH = {fetch!r}
+SEEN_JOIN = {seen_join!r}
 
 def _cpu_times():
     with open("/proc/stat") as fh:
@@ -92,7 +93,8 @@ cfg = EngineConfig(dedup=True, seen_backend="bloom",
                    bloom_capacity=max(2 * N, 1 << 16),
                    max_waves=12, respect_robots=False,
                    wave_seconds=3600.0, default_crawl_delay=0.5,
-                   checkpoint_every=100, fetch_strategy=FETCH)
+                   checkpoint_every=100, fetch_strategy=FETCH,
+                   seen_join=SEEN_JOIN)
 
 # warmup: compile the wave plan shapes (excluded from timing)
 wu_seeds = spark.createDataFrame(
@@ -144,9 +146,11 @@ for rep in range(REPEATS):
 def run_child(
     cores: int, pages: int, repeats: int, filler: int, pdir: str,
     pin: bool = True, markup: int = 0, fetch: str = "broadcast",
+    seen_join: str = "auto",
 ) -> list[dict]:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, repeats=repeats,
-                        filler=filler, pdir=pdir, markup=markup, fetch=fetch)
+                        filler=filler, pdir=pdir, markup=markup, fetch=fetch,
+                        seen_join=seen_join)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:
