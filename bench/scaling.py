@@ -408,11 +408,21 @@ DRAM channels and disks along with cores; this box divides them.
 Raw JSON: `BENCH_SCALING.json`. Reproduce: `python bench/scaling.py`
 (this exact protocol, repeats included).
 """
+    # preserve hand-written analysis: everything at/after the marker in
+    # the existing BENCH.md survives a regeneration of the tables above
+    _MARK = ("<!-- HAND-ANALYSIS: scaling.py preserves everything below "
+             "this line -->")
+    tail = ""
+    bench_path = os.path.join(ROOT, "BENCH.md")
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        if _MARK in prev:
+            tail = "\n" + prev[prev.index(_MARK):]
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
-    with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
-        fh.write(md)
+        fh.write(md + tail)
+    with open(bench_path, "w") as fh:
+        fh.write(md + tail)
     print(json.dumps({"pairs": pairs, "medians": result["medians"]}, indent=2))
 
 
