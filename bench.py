@@ -47,7 +47,8 @@ QUERY_NAMES = [
     "t_fingerprint", "a_cosine_topk", "a_knn_join", "a_ivf_index",
     "mm_metadata", "i1_routing_counts",
     # round 4 additions (grow "total" by their medians vs r3)
-    "t_decontaminate", "t_tfidf_topk",
+    "t_decontaminate", "t_tfidf_topk", "t_stratified_sample",
+    "t_domain_stats",
 ]
 
 
