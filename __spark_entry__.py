@@ -550,6 +550,12 @@ def _t_domain_stats(spark, sf):
     return domain_stats(_t(spark, sf, "documents"))
 
 
+def _t_length_quantiles(spark, sf):
+    from ironspark.textops import length_quantiles
+
+    return length_quantiles(_t(spark, sf, "documents"))
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -837,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dup_collapse": _t_dup_collapse,  # new in round 4
         "t_stratified_sample": _t_stratified_sample,  # new in round 4
         "t_domain_stats": _t_domain_stats,  # new in round 4
+        "t_length_quantiles": _t_length_quantiles,  # new in round 4
         "q2_supplier_region": _q2_supplier_region,  # new in round 4
         "q3_part_brand": _q3_part_brand,  # new in round 4
         "m1_counter_sums": _m1_counter_sums,
@@ -1251,6 +1258,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN split_bucket < 980 THEN 'train' "
             "WHEN split_bucket < 990 THEN 'val' ELSE 'test' END AS split "
             "FROM keyed WHERE sample_bucket < keep_rate"
+        ),
+        "t_length_quantiles": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "ROUND(quantile_cont(n_chars, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, "
+            "ROUND(quantile_cont(n_chars, 0.99), 6) AS p99 "
+            "FROM documents GROUP BY lang"
         ),
         "t_domain_stats": (
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

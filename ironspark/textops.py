@@ -727,3 +727,33 @@ def domain_stats(documents: DataFrame, min_docs: int = 1) -> DataFrame:
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def length_quantiles(
+    documents: DataFrame, probs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-language document-length quantiles (exact, linearly
+    interpolated — the type-7 definition both Spark's `percentile` and
+    DuckDB's `quantile_cont` implement): the length-distribution
+    signal behind per-language cutoff rules in corpus curation.
+
+    Scale: one hash-aggregate by lang. Exact percentile holds the
+    group's values; languages number ~100 and the per-group payload is
+    one long per doc — at 10^10 docs swap to approx_percentile
+    (t-digest, bounded memory) and accept the documented error bound.
+    """
+    pl = F.percentile("n_chars", F.array(*[F.lit(p) for p in probs]))
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            pl.alias("_q"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("_q")[0], 6).alias("p50"),
+            F.round(F.col("_q")[1], 6).alias("p90"),
+            F.round(F.col("_q")[2], 6).alias("p99"),
+        )
+    )

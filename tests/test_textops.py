@@ -359,3 +359,22 @@ def test_domain_stats_invariants(spark):
     assert m["n_langs"] == 2 and m["total_chars"] == 9
     c = out.loc["clean.example"]
     assert c["n_docs"] == 1 and c["dup_ratio"] == 0.0
+
+
+def test_length_quantiles_semantics(spark):
+    from ironspark.textops import length_quantiles
+
+    rows = [(i, "t", "en" if i < 10 else "de", "s", (i + 1) * 10)
+            for i in range(14)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    out = length_quantiles(docs).toPandas().set_index("lang")
+    # en: 10..100 step 10 -> p50 = 55 (linear interp), p90 = 91, p99 = 99.1
+    en = out.loc["en"]
+    assert en["n_docs"] == 10
+    assert abs(en["p50"] - 55.0) < 1e-9
+    assert abs(en["p90"] - 91.0) < 1e-9
+    assert abs(en["p99"] - 99.1) < 1e-9
+    de = out.loc["de"]
+    assert de["n_docs"] == 4 and abs(de["p50"] - 125.0) < 1e-9
