@@ -225,7 +225,8 @@ def build_robots(hosts: list[str], default_delay: float = 1.0) -> pd.DataFrame:
         hv = sum(ord(ch) for ch in h)
         delay = [0.5, 1.0, 2.0, 5.0][hv % 4] if h != MEGA_HOST else 0.5
         disallow = ["/private/"] if hv % 3 == 0 else []
-        rows.append({"host": h, "crawl_delay": delay, "disallow": disallow})
+        rows.append({"host": h, "crawl_delay": delay, "disallow": disallow,
+                     "allow": []})
     return pd.DataFrame(rows)
 
 

@@ -48,17 +48,41 @@ def with_budget(
 
 
 def robots_disallow_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop URLs whose path starts with a disallowed prefix for its host."""
+    """Drop URLs blocked by their host's robots rules.
+
+    RFC 9309 §2.2.2 precedence: the LONGEST matching rule decides, and
+    on a disallow/allow tie of equal length the allow wins — so
+    ``Disallow: /private/`` + ``Allow: /private/pub/`` blocks
+    ``/private/x`` but admits ``/private/pub/y``. Prefix rules only
+    (wildcards documented as unimplemented, robots.py). All JVM-side:
+    one broadcast join + two array folds inside codegen, no shuffle.
+    Robots tables without an ``allow`` column (pre-RFC fixtures) are
+    treated as allow-nothing-special, i.e. the legacy prefix filter.
+    """
     if robots is None:
         return pending
-    dis = robots.select("host", "disallow").filter(F.size("disallow") > 0)
-    joined = pending.join(F.broadcast(dis), "host", "left")
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    blocked = F.exists(
-        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-        lambda p: path.startswith(p),
+    rb = robots
+    if "allow" not in rb.columns:
+        rb = rb.withColumn("allow", F.array().cast("array<string>"))
+    rules = rb.select("host", "disallow", "allow").filter(
+        (F.size("disallow") > 0) | (F.size("allow") > 0)
     )
-    return joined.filter(~blocked).drop("disallow")
+    joined = pending.join(F.broadcast(rules), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+
+    def longest_match(col: str):
+        # length of the longest rule that prefixes the path; -1 if none
+        return F.aggregate(
+            F.coalesce(F.col(col), F.array().cast("array<string>")),
+            F.lit(-1),
+            lambda acc, p: F.greatest(
+                acc,
+                F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1)),
+            ),
+        )
+
+    blocked = longest_match("disallow") > longest_match("allow")
+    return joined.filter(~blocked).drop("disallow", "allow")
 
 
 def select_wave(

@@ -69,6 +69,9 @@ ROBOTS_SCHEMA = StructType(
         StructField("host", StringType()),
         StructField("crawl_delay", DoubleType()),
         StructField("disallow", ArrayType(StringType())),
+        # RFC 9309 Allow rules; precedence is longest-match, allow wins
+        # ties (politeness.robots_disallow_filter)
+        StructField("allow", ArrayType(StringType())),
     ]
 )
 

@@ -26,7 +26,8 @@ def contended(spark):
     hosts = sorted(pages_pdf["url"].map(lambda u: u.split("/")[2]).unique())
     delays = {h: 6.0 for h in hosts}  # budget 10/host/wave at 60s waves
     robots_pdf = pd.DataFrame(
-        [{"host": h, "crawl_delay": d, "disallow": []} for h, d in delays.items()]
+        [{"host": h, "crawl_delay": d, "disallow": [], "allow": []}
+         for h, d in delays.items()]
     )
     corpus = {row["url"]: row["html"] for _, row in pages_pdf.iterrows()}
     return (

@@ -29,7 +29,8 @@ def graph(spark):
     hosts = sorted(pages_pdf["url"].map(lambda u: u.split("/")[2]).unique())
     delays = {h: [2.0, 5.0, 10.0, 30.0][i % 4] for i, h in enumerate(hosts)}
     robots_pdf = pd.DataFrame(
-        [{"host": h, "crawl_delay": d, "disallow": []} for h, d in delays.items()]
+        [{"host": h, "crawl_delay": d, "disallow": [], "allow": []}
+         for h, d in delays.items()]
     )
     corpus = {
         row["url"]: row["html"] for _, row in pages_pdf.iterrows()
