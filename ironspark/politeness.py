@@ -50,34 +50,68 @@ def with_budget(
 def robots_disallow_filter(pending: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop URLs blocked by their host's robots rules.
 
-    RFC 9309 §2.2.2 precedence: the LONGEST matching rule decides, and
-    on a disallow/allow tie of equal length the allow wins — so
-    ``Disallow: /private/`` + ``Allow: /private/pub/`` blocks
-    ``/private/x`` but admits ``/private/pub/y``. Prefix rules only
-    (wildcards documented as unimplemented, robots.py). All JVM-side:
-    one broadcast join + two array folds inside codegen, no shuffle.
-    Robots tables without an ``allow`` column (pre-RFC fixtures) are
-    treated as allow-nothing-special, i.e. the legacy prefix filter.
+    RFC 9309 §2.2.2 precedence: the MOST SPECIFIC (longest-pattern)
+    matching rule decides, and on a disallow/allow tie of equal length
+    the allow wins — so ``Disallow: /private/`` + ``Allow:
+    /private/pub/`` blocks ``/private/x`` but admits
+    ``/private/pub/y``. Wildcard rules per RFC 9309 §2.2.3 (``*`` =
+    any octets, trailing ``$`` = end anchor) are compiled ONCE per
+    rule to Java regex on the broadcast rules dim
+    (``robots.compile_rule_regex``); plain prefixes keep the cheaper
+    ``startswith`` branch, so a typical robots table with few wildcard
+    rules pays near-zero regex cost. All JVM-side: one broadcast join
+    + two array folds inside codegen, no shuffle. Robots tables
+    without an ``allow`` column (pre-RFC fixtures) are treated as
+    allow-nothing-special, i.e. the legacy prefix filter.
     """
     if robots is None:
         return pending
+    from ironspark.robots import compile_rule_regex
+
     rb = robots
     if "allow" not in rb.columns:
         rb = rb.withColumn("allow", F.array().cast("array<string>"))
     rules = rb.select("host", "disallow", "allow").filter(
         (F.size("disallow") > 0) | (F.size("allow") > 0)
     )
+    # Compile each rule to struct<pat, re> on the SMALL rules dim —
+    # re is NULL for plain prefixes. Done before the broadcast so the
+    # regex strings ship pre-built to every task.
+    compiled = lambda col: F.transform(  # noqa: E731
+        F.coalesce(F.col(col), F.array().cast("array<string>")),
+        lambda p: F.struct(
+            p.alias("pat"), compile_rule_regex(p).alias("re")
+        ),
+    )
+    rules = rules.select(
+        "host", compiled("disallow").alias("disallow"),
+        compiled("allow").alias("allow"),
+    )
     joined = pending.join(F.broadcast(rules), "host", "left")
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # Match target is everything after the authority: path plus
+    # "?query" when present (RFC 9309 §2.2.2 matches the full
+    # path-with-query — de-facto rules like ``/*?sessionid=`` rely on
+    # it). A missing path normalizes to "/".
+    qry = F.parse_url(F.col("url"), F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        F.when(qry.isNotNull(), F.concat(F.lit("?"), qry)).otherwise(F.lit("")),
+    )
 
     def longest_match(col: str):
-        # length of the longest rule that prefixes the path; -1 if none
+        # specificity (pattern length, RFC 9309 §2.2.2 / Google
+        # parser) of the most specific matching rule; -1 if none
+        empty = F.array().cast("array<struct<pat:string,re:string>>")
         return F.aggregate(
-            F.coalesce(F.col(col), F.array().cast("array<string>")),
+            F.coalesce(F.col(col), empty),
             F.lit(-1),
-            lambda acc, p: F.greatest(
+            lambda acc, r: F.greatest(
                 acc,
-                F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1)),
+                F.when(
+                    F.when(r["re"].isNull(), path.startswith(r["pat"]))
+                    .otherwise(F.regexp_like(path, r["re"])),
+                    F.length(r["pat"]),
+                ).otherwise(F.lit(-1)),
             ),
         )
 

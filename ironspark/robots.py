@@ -10,21 +10,56 @@ side-channel table of (host, robots_txt)).
 
 Parsing follows RFC 9309 (the 2022 Robots Exclusion Protocol
 standard): rules under ``User-agent: *`` (or a matching agent token),
-``Disallow:`` AND ``Allow:`` path prefixes — precedence is decided at
-match time by the longest matching rule, allow winning ties
-(``politeness.robots_disallow_filter``) — plus the de-facto
-``Crawl-delay:`` seconds. Wildcard (`*`/`$`) patterns, an RFC
-SHOULD-level feature, are not implemented; prefix rules cover the
-overwhelming majority of real robots files. Vectorized via
-mapInPandas — the parse is pure Python per host, a few KB each.
+``Disallow:`` AND ``Allow:`` path rules — precedence is decided at
+match time by the most-specific (longest-pattern) matching rule, allow
+winning ties (``politeness.robots_disallow_filter``) — plus the
+de-facto ``Crawl-delay:`` seconds. Wildcard patterns per RFC 9309
+§2.2.3 are supported: ``*`` matches any run of characters and a
+trailing ``$`` anchors the rule at the end of the path (a ``$``
+anywhere else is a literal octet, matching Google's reference parser).
+Rules stay plain strings in the table schema; the regex compilation
+happens once per (host, rule) on the broadcast rules dim inside
+``politeness.robots_disallow_filter`` — see ``compile_rule_regex``.
+Vectorized via mapInPandas — the parse is pure Python per host, a few
+KB each.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from ironspark.schemas import ROBOTS_SCHEMA
+
+# Java-regex metacharacters that must be escaped when a robots rule is
+# turned into a pattern. ``*`` is deliberately absent (it becomes
+# ``.*``); ``$`` IS escaped here because only a *trailing* ``$`` is an
+# anchor per RFC 9309 §2.2.3 — it is stripped before this pass.
+_RE_META = r"([.^$+?(){}\[\]|\\])"
+
+
+def compile_rule_regex(pat: Column) -> Column:
+    """Compile one robots rule (string column) to an anchored Java
+    regex, or NULL when the rule is a plain prefix (no ``*``, no
+    trailing ``$``) so the caller can keep the cheap ``startswith``
+    path.
+
+    RFC 9309 §2.2.3: ``*`` matches any sequence of octets; ``$``
+    designates the end of the match pattern. A ``$`` that is not the
+    final octet is a literal (Google robotstxt parser behavior). Runs
+    entirely JVM-side; callers apply it to the SMALL broadcast rules
+    dim, never to the frontier.
+    """
+    anchored = pat.endswith("$")
+    core = F.when(anchored, pat.substr(F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    esc = F.regexp_replace(core, _RE_META, r"\\$1")
+    starred = F.replace(esc, F.lit("*"), F.lit(".*"))
+    rex = F.concat(
+        F.lit("^"), starred, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+    is_wild = pat.contains("*") | anchored
+    return F.when(is_wild, rex).otherwise(F.lit(None).cast("string"))
 
 
 def parse_robots_txt(

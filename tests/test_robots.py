@@ -129,3 +129,68 @@ def test_robots_table_distributed(spark):
     assert out["a.com"]["crawl_delay"] == 2.5
     assert out["a.com"]["disallow"] == ["/private/"]
     assert out["b.com"]["crawl_delay"] == 0.5
+
+
+WILD = """
+User-agent: *
+Disallow: /*?sessionid=
+Disallow: /*.pdf$
+Disallow: /public
+Allow: /public*.html
+Disallow: /lit$eral
+Allow: /end/
+Disallow: /end/$
+"""
+
+
+def test_rfc9309_wildcard_rules(spark):
+    from ironspark.politeness import robots_disallow_filter
+
+    robots = robots_table(spark.createDataFrame(pd.DataFrame({
+        "host": ["w.test"],
+        "robots_txt": [WILD],
+    })))
+    urls = {
+        # * rule matches across path AND query (match target is
+        # path?query per RFC 9309 / Google parser)
+        "http://w.test/page?sessionid=1": False,
+        "http://w.test/page?other=1": True,
+        # trailing $ anchors: .pdf blocked, .pdfx not
+        "http://w.test/a/b.pdf": False,
+        "http://w.test/a/b.pdfx": True,
+        # wildcard-beats-prefix: Allow /public*.html (len 13) is more
+        # specific than Disallow /public (len 7)
+        "http://w.test/public/x.html": True,
+        "http://w.test/public/x.txt": False,
+        # mid-pattern $ is a literal octet, not an anchor
+        "http://w.test/lit$eral/x": False,
+        "http://w.test/literal/x": True,
+        # $-anchored disallow blocks exactly the directory URL while
+        # the equal-prefix allow keeps children ("/end/$" len 6 beats
+        # "/end/" len 5 only on the exact match)
+        "http://w.test/end/": False,
+        "http://w.test/end/child": True,
+    }
+    pending = spark.createDataFrame(pd.DataFrame({
+        "host": ["w.test"] * len(urls),
+        "url": list(urls),
+    }))
+    kept = {r.url for r in robots_disallow_filter(pending, robots).collect()}
+    assert kept == {u for u, keep in urls.items() if keep}
+
+
+def test_compile_rule_regex_prefix_is_null(spark):
+    """Plain prefixes compile to NULL so the fold keeps startswith."""
+    from pyspark.sql import functions as F
+
+    from ironspark.robots import compile_rule_regex
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"p": ["/plain/", "/a*b", "/x$", "/mid$lit"]})
+    ).select("p", compile_rule_regex(F.col("p")).alias("re"))
+    got = {r.p: r.re for r in df.collect()}
+    assert got["/plain/"] is None
+    assert got["/a*b"] == "^/a.*b"
+    assert got["/x$"] == "^/x$"
+    # mid-pattern $ alone is literal -> not a wildcard rule
+    assert got["/mid$lit"] is None
