@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -41,6 +42,34 @@ def robots_sitemap_urls(text: str) -> list[str]:
 
 def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1].lower()
+
+
+def _ensure_text(body) -> str:
+    """Normalize a sitemap body to XML text.
+
+    Bodies arrive as str (text corpora) or bytes (binary ``html``
+    columns, ``.xml.gz`` fetches). Gzip is detected by the 1f 8b magic
+    and decompressed with the same multi-member zlib loop as the WARC
+    reader (warc.py ``read_warc``) — sitemaps.org caps files at 50 MB
+    UNcompressed, so gzip is the norm for real sitemaps. Undecodable
+    bytes are dropped (ET would reject them anyway)."""
+    if body is None:
+        return ""
+    if isinstance(body, (bytes, bytearray, memoryview)):
+        data = bytes(body)
+        if data[:2] == b"\x1f\x8b":
+            raw = bytearray()
+            try:
+                while data:
+                    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+                    raw += d.decompress(data)
+                    raw += d.flush()
+                    data = d.unused_data
+            except zlib.error:
+                return ""
+            data = bytes(raw)
+        return data.decode("utf-8", errors="replace")
+    return body
 
 
 def parse_sitemap_xml(sitemap_url: str, xml_body: str) -> list[dict]:
@@ -88,7 +117,7 @@ def parse_sitemaps(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for u, b in zip(pdf["url"], pdf["body"]):
-                rows.extend(parse_sitemap_xml(u, b or ""))
+                rows.extend(parse_sitemap_xml(u, _ensure_text(b)))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -79,3 +79,52 @@ def test_sitemap_seeds_end_to_end(spark):
     by_url = dict(zip(seeds["url"], seeds["priority"]))
     assert by_url["http://a.test/p1"] == 0.8
     assert by_url["http://a.test/p2"] == 0.5  # default fill
+
+
+def test_gzipped_sitemap_bytes(spark):
+    """Golden: real .xml.gz bytes (incl. multi-member gzip) parse in
+    the same Arrow pass; a sitemapindex-of-gz resolves end to end."""
+    import gzip
+
+    from ironspark.sitemap import _ensure_text, parse_sitemaps
+
+    gz = gzip.compress(_URLSET.encode())
+    # multi-member: two concatenated gzip streams (legal per RFC 1952,
+    # produced by some sitemap generators)
+    two_sets = _URLSET.replace("p1", "q1").replace("p2", "q2")
+    multi = gzip.compress(_URLSET.encode()) + gzip.compress(b"")
+    assert _ensure_text(gz) == _URLSET
+    assert _ensure_text(multi) == _URLSET
+    assert _ensure_text(None) == ""
+    assert _ensure_text(b"\x1f\x8btruncated-garbage") == ""
+    assert _ensure_text(two_sets) == two_sets  # str passthrough
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "url": ["http://a.test/sm.xml.gz", "http://a.test/plain.xml"],
+        "body": [bytearray(gz), bytearray(_URLSET.encode())],
+    }))
+    rows = parse_sitemaps(docs).collect()
+    assert sorted(r.url for r in rows) == [
+        "http://a.test/p1", "http://a.test/p1",
+        "http://a.test/p2", "http://a.test/p2",
+    ]
+
+
+def test_sitemap_index_of_gz_seeds(spark):
+    import gzip
+
+    idx = """<?xml version="1.0"?>
+    <sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>http://g.test/child.xml.gz</loc></sitemap>
+    </sitemapindex>"""
+    child = _URLSET.replace("a.test", "g.test")
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["http://g.test/sitemap.xml", "http://g.test/child.xml.gz"],
+        "html": [bytearray(idx.encode()), bytearray(gzip.compress(child.encode()))],
+    }))
+    robots = spark.createDataFrame(pd.DataFrame({
+        "host": ["g.test"],
+        "robots_txt": ["Sitemap: http://g.test/sitemap.xml\n"],
+    }))
+    seeds = {r.url for r in sitemap_seeds(spark, pages, robots).collect()}
+    assert seeds == {"http://g.test/p1", "http://g.test/p2"}
