@@ -81,17 +81,38 @@ class BloomFilter:
         return self
 
 
-def build_bloom(df: DataFrame, url_col: str, capacity: int, fpp: float) -> BloomFilter:
-    """Distributed build: per-partition bitsets OR-merged on the driver.
+def build_bloom(
+    df: DataFrame, url_col: str, capacity: int, fpp: float, fanin: int = 8
+) -> BloomFilter:
+    """Distributed build: per-partition bitsets OR-merged executor-side.
 
-    The shipped unit is the fixed-size bitset (m/8 bytes), never rows —
-    at 10^10 URLs with fpp 1% that is ~1.4 GB of bits total, built as
-    one numpy array per partition and OR-reduced (tree reduction over
-    partition results is what RDD.treeAggregate does; with bitsets the
-    OR is associative/commutative so driver-side reduce is identical).
+    The shipped unit is the fixed-size bitset (m/8 bytes), never rows.
+    Per-partition partials are tree-reduced EXECUTOR-side (coalesce
+    by ``fanin`` + one OR pass per level — the treeAggregate shape,
+    kept in Arrow) until ONE merged bitset remains, so the driver
+    receives exactly one geometry-sized row regardless of partition
+    count. At 10^10 URLs / 1% fpp the geometry is GBs; collecting it
+    once is the broadcast cost, collecting it per-partition (the old
+    shape) would be partitions × geometry through the driver.
+    ``coalesce`` (not repartition) fans partials in without shuffling
+    the large binary rows.
     """
     proto = BloomFilter(capacity, fpp)
-    m, k = proto.m, proto.k
+    rows = _bloom_merged_partials(
+        df, url_col, proto.m, proto.k, fanin
+    ).collect()  # exactly one geometry-sized row (or zero when the
+    # input has no partitions at all)
+    assert len(rows) <= 1
+    for row in rows:
+        proto.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return proto
+
+
+def _bloom_merged_partials(
+    df: DataFrame, url_col: str, m: int, k: int, fanin: int = 8
+) -> DataFrame:
+    """One-row DataFrame holding the fully OR-merged bitset for ``df``
+    (executor-side tree reduction; see build_bloom)."""
 
     def partial(batches):
         bf = BloomFilter(2, 0.5)  # shell; overwrite geometry
@@ -101,10 +122,22 @@ def build_bloom(df: DataFrame, url_col: str, capacity: int, fpp: float) -> Bloom
             bf.add_series(pdf[url_col])
         yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    parts = df.select(url_col).mapInPandas(partial, "bits binary").collect()
-    for row in parts:
-        proto.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
-    return proto
+    def or_merge(batches):
+        acc = None
+        for pdf in batches:
+            for raw in pdf["bits"]:
+                part = np.frombuffer(raw, dtype=np.uint64)
+                acc = part.copy() if acc is None else acc | part
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    src = df.select(url_col)
+    merged = src.mapInPandas(partial, "bits binary")
+    nparts = src.rdd.getNumPartitions()
+    while nparts > 1:
+        nparts = max(1, (nparts + fanin - 1) // fanin)
+        merged = merged.coalesce(nparts).mapInPandas(or_merge, "bits binary")
+    return merged
 
 
 def bloom_maybe_udf(spark, bloom: BloomFilter):

@@ -118,3 +118,41 @@ def test_engine_bloom_broadcast_discipline(spark, tmp_path):
     assert sb.n_broadcast <= 2 * (stats.waves + 1)
     assert sb.n_slices <= cfg.bloom_max_slices
     assert sb.n_unpersisted == sb.n_broadcast - sb.n_slices
+
+
+def test_bloom_tree_merge_driver_bytes_bounded(spark):
+    """The driver must receive ONE geometry-sized bitset row no matter
+    how many input partitions exist (the old shape collected one full
+    bitset PER partition — partitions × geometry through the driver)."""
+    import pandas as pd
+
+    from ironspark.seen import _bloom_merged_partials
+
+    urls = pd.DataFrame({"url_canon": [f"http://h{i}.test/p{i}" for i in range(500)]})
+    df = spark.createDataFrame(urls).repartition(64)
+    proto = BloomFilter(4096, 0.01)
+    rows = _bloom_merged_partials(df, "url_canon", proto.m, proto.k).collect()
+    assert len(rows) == 1                       # ≤ 2× geometry: one row
+    assert len(rows[0]["bits"]) == proto.m // 8  # exactly the geometry
+
+    # and the merged result is still the exact union
+    dist = build_bloom(df, "url_canon", 4096, 0.01)
+    assert dist.contains_series(urls["url_canon"]).all()
+
+
+def test_bloom_seen_via_tree_merge(spark):
+    """BloomSeen (the library entry point) builds through the
+    tree-merged path and stays exact on a many-partition seen table."""
+    import pandas as pd
+
+    from ironspark.seen import BloomSeen
+
+    seen = spark.createDataFrame(
+        pd.DataFrame({"url_canon": [f"http://s.test/{i}" for i in range(300)]})
+    ).repartition(32)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url_canon":
+                      [f"http://s.test/{i}" for i in range(250, 350)]})
+    )
+    got = {r.url_canon for r in BloomSeen(seen).filter_new(cand).collect()}
+    assert got == {f"http://s.test/{i}" for i in range(300, 350)}
