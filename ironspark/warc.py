@@ -131,6 +131,26 @@ def decode_records(buf: bytes) -> Iterator[dict]:
         pos = hdr_end + 4 + clen + 4  # skip the trailing 2 CRLF
 
 
+def _resolve_fs(path: str):
+    """(pyarrow filesystem, in-fs path) for a sink/source URI.
+
+    Scheme-qualified paths (``file://``, ``hdfs://``, ``s3://``, …)
+    resolve through ``pyarrow.fs.FileSystem.from_uri`` so executor
+    tasks write to SHARED storage; a bare path resolves to the local
+    filesystem of whatever machine runs the task. On a real cluster a
+    bare path therefore scatters segments across executor-local disks
+    — pass an explicit scheme (or run with a shared mount at the same
+    path on every node, the sandbox case).
+    """
+    import os
+
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def write_warc(
     df: DataFrame,
     path: str,
@@ -143,14 +163,23 @@ def write_warc(
     written executor-side (gzip member per record). Returns the number
     of records written.
 
+    ``path`` may be scheme-qualified (``file:///shared/warc``,
+    ``hdfs://nn/warc``) — each task opens its segment through the
+    filesystem API (``_resolve_fs``), so on a real cluster the
+    segments land on shared storage, not N executor-local disks. Bare
+    paths mean "local disk of the task's machine" (fine in the
+    sandbox / with a shared mount; see ``_resolve_fs``). Compression
+    is done by US per record member — the stream is opened raw
+    (``compression=None``) so the filesystem layer doesn't re-gzip by
+    the ``.gz`` extension.
+
     The fan-out knob is ``partitions`` (default: keep the input's) —
     at 100 TB you size it so each segment lands near the ~1 GB
     convention. Uses mapPartitions (not collect): the driver sees only
     one count per partition.
     """
-    import os
-
-    os.makedirs(path, exist_ok=True)
+    fs, base = _resolve_fs(path)
+    fs.create_dir(base, recursive=True)
     if partitions is not None:
         df = df.repartition(partitions)
     cols = df.select(url_col, ts_col, body_col)
@@ -160,11 +189,12 @@ def write_warc(
         fh = None
         from pyspark import TaskContext
 
+        tfs, tbase = _resolve_fs(path)  # re-resolve inside the task
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        fname = f"{tbase}/part-{pid:05d}.warc.gz"
         for row in it:
             if fh is None:
-                fh = open(fname, "wb")
+                fh = tfs.open_output_stream(fname, compression=None)
             body = row[body_col]
             payload = body.encode() if isinstance(body, str) else (body or b"")
             rec = encode_record(row[url_col], row[ts_col], payload)

@@ -93,3 +93,34 @@ def test_read_warc_is_parallel_over_files(spark, tmp_path):
     plan = reader._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert reader.count() == 40
+
+
+def test_warc_roundtrip_file_uri(spark, tmp_path):
+    """Scheme-qualified sink path: segments open through the pyarrow
+    filesystem API (the shared-storage path on a real cluster) and the
+    bytes round-trip unchanged — no double-gzip from the .gz suffix."""
+    import datetime
+
+    pdf = pd.DataFrame({
+        "url": [f"http://fs.test/p/{i}" for i in range(50)],
+        "warc_ts": [datetime.datetime(2026, 1, 1)] * 50,
+        "html": [f"<html>u{i}</html>" for i in range(50)],
+    })
+    df = spark.createDataFrame(pdf).repartition(4)
+    out_uri = "file://" + str(tmp_path / "warcs_uri")
+    assert write_warc(df, out_uri, partitions=4) == 50
+
+    import glob
+    files = glob.glob(str(tmp_path / "warcs_uri") + "/part-*.warc.gz")
+    assert files, "segments must land at the URI path"
+    with open(files[0], "rb") as fh:
+        raw = fh.read()
+    # exactly ONE layer of gzip: the decompressed first member is a
+    # WARC record, not another gzip stream
+    first = gzip.decompress(raw)
+    assert first.startswith(b"WARC/1.0")
+
+    back = read_warc(spark, out_uri).toPandas()
+    assert len(back) == 50
+    by_url = dict(zip(back["url"], back["payload"]))
+    assert bytes(by_url["http://fs.test/p/7"]).decode() == "<html>u7</html>"
