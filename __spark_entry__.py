@@ -627,6 +627,46 @@ def _mm_feature(spark, sf):
     )
 
 
+def _mm_decode(spark, sf):
+    """REAL PNG codec round trip, distributed (multimodal.decode_png /
+    encode_png — pure stdlib, new in round 5): per doc, build a 2x2
+    RGB image whose 12 pixel bytes are (doc_id*(j+1)) % 256, encode it
+    with a doc-dependent PNG filter type (all five §9 filters get
+    exercised across the table), decode it back, and emit the
+    reconstructed pixel buffer as hex. The oracle recomputes the pixel
+    bytes arithmetically — so a wrong filter inversion or chunk walk
+    hash-mismatches. One Arrow pass, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ironspark.multimodal import decode_image, encode_png
+
+    def run(batches):
+        for pdf in batches:
+            ids, hexes = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pix = np.array(
+                    [(did * (j + 1)) % 256 for j in range(12)], dtype=np.uint8
+                ).reshape(2, 2, 3)
+                png = encode_png(pix, filters=[did % 5, (did // 5) % 5])
+                img = decode_image(png)
+                ids.append(did)
+                hexes.append(img["pixels"].tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.int32(2), "height": np.int32(2),
+                    "channels": np.int32(3), "pixel_hex": hexes,
+                }
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        run,
+        "media_id long, width int, height int, channels int, pixel_hex string",
+    )
+
+
 # -- URL canonicalization (P8; pandas UDF — oracle restricted to fixed shapes) --
 
 def _p8_canonicalize(spark, sf):
@@ -824,69 +864,19 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round and CORRECTNESS_r0{2,3}.json pinned at exactly
-    # 50 rows while this dict grew to 54 — so entries never yet (or
-    # most recently) driver-attested rotate to the FRONT and
-    # long-attested simple entries rotate to the back (round 4 adds
-    # m5_avg, p5_regexp_extract, l1_registration to the tail — green
-    # in r1-r3 driver artifacts). Every entry stays shipped and green
+    # entries per round while this dict holds 65 — so the FRONT of the
+    # dict is the round-5 attestation window: the 14 entries whose
+    # last driver row was r1-r3 (they rotated out of r4's window) plus
+    # the new mm_decode, then the heavyweight r4-attested entries. The
+    # 15 rotated out this round were ALL driver-green in r4
+    # (CORRECTNESS_r04.json), so every entry keeps a driver-green row
+    # within the last two rounds. Every entry stays shipped and green
     # under scripts/driver_gate.py; only attestation order changes.
     return {
-        "t_decontaminate": _t_decontaminate,  # new in round 4
-        "t_gopher_quality": _t_gopher_quality,  # new in round 4
-        "t_tfidf_topk": _t_tfidf_topk,  # new in round 4
-        "a_near_dup": _a_near_dup,
-        "t_dup_ngrams": _t_dup_ngrams,
-        "t_vocab_topk": _t_vocab_topk,
-        "t_pii_scrub": _t_pii_scrub,
-        "t_dup_clusters": _t_dup_clusters,  # new in round 4
-        "t_dup_collapse": _t_dup_collapse,  # new in round 4
-        "t_stratified_sample": _t_stratified_sample,  # new in round 4
-        "t_domain_stats": _t_domain_stats,  # new in round 4
-        "t_length_quantiles": _t_length_quantiles,  # new in round 4
-        "q2_supplier_region": _q2_supplier_region,  # new in round 4
-        "q3_part_brand": _q3_part_brand,  # new in round 4
-        "m1_counter_sums": _m1_counter_sums,
-        "m2_status_histogram": _m2_status_histogram,
-        "m3_error_histogram": _m3_error_histogram,
-        "m6_peak_gauge": _m6_peak_gauge,
-        "f2_fifo_order_limit": _f2_fifo_order_limit,
-        "f3_politeness_topk": _f3_politeness_topk,
-        "f5_backpressure_cap": _f5_backpressure_cap,
-        "f7_rate_budget": _f7_rate_budget,
-        "d1_retry_union": _d1_retry_union,
-        "d2_status_filter": _d2_status_filter,
-        "d3_error_classify": _d3_error_classify,
-        "d4_wire_size": _d4_wire_size,
-        "p7_antijoin_dedup": _p7_antijoin_dedup,
-        "p8_canonicalize": _p8_canonicalize,
-        "x1_exchange_join": _x1_exchange_join,
-        "q1_lineitem_agg": _q1_lineitem_agg,
-        "skew2p_salted_agg": _skew2p_salted_agg,
-        "t_exact_dedup": _t_exact_dedup,
-        "t_minhash_sig": _t_minhash_sig,
-        "t_lsh_pairs": _t_lsh_pairs,
-        "t_jaccard_pairs": _t_jaccard_pairs,
-        "t_simhash": _t_simhash,
-        "t_langid": _t_langid,
-        "t_token_count": _t_token_count,
-        "t_quality": _t_quality,
-        "t_fingerprint": _t_fingerprint,
-        "a_cosine_topk": _a_cosine_topk,
-        "a_knn_join": _a_knn_join,
-        "a_ivf_assign": _a_ivf_assign,
-        "a_ivf_topk": _a_ivf_topk,
-        "mm_metadata": _mm_metadata,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_feature": _mm_feature,
-        "f4_admission": _f4_admission,
-        "d5_redirects": _d5_redirects,
-        "m8_spider_counters": _m8_spider_counters,
+        # -- unattested in r4 (last driver row r1-r3) → front ---------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
         "a_ivf_index": _a_ivf_index,
-        # -- rotated out of the 50-entry attestation window this round
-        # (all green in r1-r3 driver artifacts; SURVEY §2.12) ---------
         "m5_avg": _m5_avg,
         "p5_regexp_extract": _p5_regexp_extract,
         "l1_registration": _l1_registration,
@@ -898,6 +888,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_rollup": _g_rollup,
         "dt_date_funcs": _dt_date_funcs,
         "j_json_extract": _j_json_extract,
+        "mm_decode": _mm_decode,  # new in round 5 (real PNG codec)
+        # -- r4-attested, kept in the window ---------------------------
+        "t_decontaminate": _t_decontaminate,
+        "t_gopher_quality": _t_gopher_quality,
+        "t_tfidf_topk": _t_tfidf_topk,
+        "a_near_dup": _a_near_dup,
+        "t_dup_ngrams": _t_dup_ngrams,
+        "t_vocab_topk": _t_vocab_topk,
+        "t_pii_scrub": _t_pii_scrub,
+        "t_dup_clusters": _t_dup_clusters,
+        "t_dup_collapse": _t_dup_collapse,
+        "t_stratified_sample": _t_stratified_sample,
+        "t_domain_stats": _t_domain_stats,
+        "t_length_quantiles": _t_length_quantiles,
+        "q2_supplier_region": _q2_supplier_region,
+        "q3_part_brand": _q3_part_brand,
+        "f3_politeness_topk": _f3_politeness_topk,
+        "d5_redirects": _d5_redirects,
+        "p7_antijoin_dedup": _p7_antijoin_dedup,
+        "x1_exchange_join": _x1_exchange_join,
+        "q1_lineitem_agg": _q1_lineitem_agg,
+        "skew2p_salted_agg": _skew2p_salted_agg,
+        "t_exact_dedup": _t_exact_dedup,
+        "t_minhash_sig": _t_minhash_sig,
+        "t_lsh_pairs": _t_lsh_pairs,
+        "t_jaccard_pairs": _t_jaccard_pairs,
+        "t_simhash": _t_simhash,
+        "t_langid": _t_langid,
+        "t_fingerprint": _t_fingerprint,
+        "a_cosine_topk": _a_cosine_topk,
+        "a_knn_join": _a_knn_join,
+        "a_ivf_assign": _a_ivf_assign,
+        "a_ivf_topk": _a_ivf_topk,
+        "mm_metadata": _mm_metadata,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_feature": _mm_feature,
+        "f4_admission": _f4_admission,
+        "m8_spider_counters": _m8_spider_counters,
+        "d2_status_filter": _d2_status_filter,
+        "d1_retry_union": _d1_retry_union,
+        "p8_canonicalize": _p8_canonicalize,
+        # -- rotated out of the ~50-entry attestation window this round
+        # (every one driver-green in CORRECTNESS_r04.json) -------------
+        "m1_counter_sums": _m1_counter_sums,
+        "m2_status_histogram": _m2_status_histogram,
+        "m3_error_histogram": _m3_error_histogram,
+        "m6_peak_gauge": _m6_peak_gauge,
+        "f2_fifo_order_limit": _f2_fifo_order_limit,
+        "f5_backpressure_cap": _f5_backpressure_cap,
+        "f7_rate_budget": _f7_rate_budget,
+        "d3_error_classify": _d3_error_classify,
+        "d4_wire_size": _d4_wire_size,
+        "t_token_count": _t_token_count,
+        "t_quality": _t_quality,
     }
 
 
@@ -1382,6 +1426,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents"
+        ),
+        # mm_decode: the Spark side encodes REAL PNGs and decodes them
+        # back; the oracle recomputes the expected pixel bytes directly
+        # (a codec that mangles any filter type hash-mismatches here).
+        "mm_decode": (
+            "SELECT doc_id AS media_id, CAST(2 AS INT) AS width, "
+            "CAST(2 AS INT) AS height, CAST(3 AS INT) AS channels, "
+            "(SELECT string_agg(printf('%02x', (doc_id*(j+1))%256), '' ORDER BY j) "
+            "FROM generate_series(0,11) t(j)) AS pixel_hex "
+            "FROM documents"
         ),
         "mm_frame_sample": (
             "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb "

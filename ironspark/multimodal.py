@@ -2,12 +2,15 @@
 
 Image/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow
-``mapInPandas`` stages. The actual codec step is STUBBED (the
-image/audio libraries are not in this container): ``decode_image`` and
-friends either raise NotImplementedError (strict mode) or produce a
-clearly-marked deterministic fake — but the Spark-side plumbing
-(schemas, batch shapes, partitioning, UDF signatures) is real and
-tested, which is the part that matters for the 100 TB design.
+``mapInPandas`` stages. ``decode_image`` is REAL for PNG — a
+pure-stdlib decoder (``decode_png``: chunk walk, zlib inflate, filter
+reconstruction per the PNG spec §9; 8-bit gray/RGB/palette/gray-
+alpha/RGBA, non-interlaced). Other formats (JPEG etc.) still raise
+NotImplementedError (their codecs aren't in this container) — for
+those the feature/frame stages fall back to clearly-marked
+deterministic fakes, but the Spark-side plumbing (schemas, batch
+shapes, partitioning, UDF signatures) is real and tested, which is
+the part that matters for the 100 TB design.
 
 Scale notes: binary payloads dominate row size, so these stages set
 ``spark.sql.files.maxPartitionBytes``-friendly batch shapes (small
@@ -18,7 +21,9 @@ that are orders of magnitude smaller than their inputs.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -66,12 +71,230 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """Real codec entry point — intentionally unavailable here."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not present in this container; "
-        "swap this function for a real decoder in deployment"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (PNG spec §9): each line is
+    [filter_type][stride bytes]; reconstruction of Sub/Paeth is a
+    left-to-right recurrence, done per byte (fine for the metadata/
+    fixture path; throughput decoding belongs to a native codec)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1][i - bpp]) if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (no PIL): signature + chunk walk, IDAT
+    zlib inflate, filter reconstruction, palette expansion.
+
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced — the
+    dominant real-world configurations. Returns
+    ``{width, height, channels, pixels}`` with pixels a
+    (height, width, channels) uint8 array (palette expanded to RGB).
+    Raises ValueError on malformed bytes, NotImplementedError on
+    unsupported (16-bit / sub-byte / interlaced) variants.
+    """
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC (CRC not verified)
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+        nch = 3
+    return {"width": w, "height": h, "channels": nch, "pixels": px}
+
+
+def _png_filter_row(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward per-scanline filter (PNG spec §9) — the encoder side of
+    ``_png_unfilter``."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        x = line[i]
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (x - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     )
+
+
+def encode_png(pixels: np.ndarray, filters=None) -> bytes:
+    """Pure-stdlib PNG encode: (h, w, c) uint8 -> valid PNG bytes
+    (8-bit, non-interlaced; c in {1: gray, 2: gray+alpha, 3: RGB,
+    4: RGBA}). ``filters`` picks the per-row filter type (default all
+    0); any choice round-trips through ``decode_png``."""
+    import struct
+
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters if filters is not None else [0] * h
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y in range(h):
+        line = pixels[y].tobytes()
+        raw += bytes([filters[y]]) + _png_filter_row(filters[y], line, prev, c)
+        prev = line
+    return (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Codec entry point: REAL for PNG (``decode_png``); other formats
+    need PIL/opencv, not present in this container — swap the fallback
+    for a real decoder in deployment."""
+    if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decoding is built in; JPEG/audio/video codecs are not "
+        "present in this container — plug a real decoder here in deployment"
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_digest", StringType()),
+        StructField("decode_err", StringType()),
+    ]
+)
+
+
+def decode_image_stage(media: DataFrame) -> DataFrame:
+    """Distributed decode: PNG payloads decode for real (dims +
+    md5 of the reconstructed pixel buffer); undecodable payloads keep
+    their error string instead of failing the stage (at 100 TB a
+    corrupt member must not kill the job). Output rows are fixed-width
+    — the multi-KB payload column is dropped at this stage boundary."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, cs, digs, errs = [], [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    img = decode_image(bytes(b or b""))
+                    ws.append(img["width"])
+                    hs.append(img["height"])
+                    cs.append(img["channels"])
+                    digs.append(
+                        hashlib.md5(np.ascontiguousarray(img["pixels"])).hexdigest()
+                    )
+                    errs.append(None)
+                except (ValueError, NotImplementedError, zlib.error) as e:
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    digs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "pixel_digest": digs, "decode_err": errs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:
