@@ -152,29 +152,48 @@ def main() -> None:
         seeds=wu_seeds, run_dir=wu_dir
     )
 
-    # -- measured reps -------------------------------------------------------
-    reps: list[dict] = []
-    stats = None
+    # -- measured reps, steal-gated (VERDICT r4 #1/#9): hypervisor
+    # steal confounded the r4 crawl scoreboard (2.6-4.4%% steal eras
+    # made faster code post a slower number). If the median rep steal
+    # of a block exceeds STEAL_GATE_PCT, the whole block reruns (up to
+    # IRONSPARK_BENCH_STEAL_RETRIES extra blocks); the block with the
+    # lowest median steal is reported and every block is disclosed.
     run_dir = os.path.join(CACHE, "crawl_run")
-    for rep in range(REPS):
-        shutil.rmtree(run_dir, ignore_errors=True)
-        eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
-        tot0, st0 = _cpu_times()
-        t0 = time.monotonic()
-        stats = eng.run(seeds=mk_seeds(), run_dir=run_dir)
-        wall = time.monotonic() - t0
-        tot1, st1 = _cpu_times()
-        reps.append(
-            {
-                "wall_s": round(wall, 3),
-                "urls_per_sec": round(
-                    (stats.scheduled + stats.deduped) / wall, 1
-                ),
-                "host_steal_pct": round(
-                    100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2
-                ),
-            }
-        )
+    steal_gate = float(os.environ.get("IRONSPARK_BENCH_STEAL_GATE", "1.0"))
+    max_blocks = 1 + int(os.environ.get("IRONSPARK_BENCH_STEAL_RETRIES", "2"))
+    stats = None
+
+    def run_block() -> list[dict]:
+        nonlocal stats
+        block: list[dict] = []
+        for _ in range(REPS):
+            shutil.rmtree(run_dir, ignore_errors=True)
+            eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+            tot0, st0 = _cpu_times()
+            t0 = time.monotonic()
+            stats = eng.run(seeds=mk_seeds(), run_dir=run_dir)
+            wall = time.monotonic() - t0
+            tot1, st1 = _cpu_times()
+            block.append(
+                {
+                    "wall_s": round(wall, 3),
+                    "urls_per_sec": round(
+                        (stats.scheduled + stats.deduped) / wall, 1
+                    ),
+                    "host_steal_pct": round(
+                        100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2
+                    ),
+                }
+            )
+        return block
+
+    def med_steal(block: list[dict]) -> float:
+        return statistics.median(r["host_steal_pct"] for r in block)
+
+    blocks = [run_block()]
+    while med_steal(blocks[-1]) > steal_gate and len(blocks) < max_blocks:
+        blocks.append(run_block())
+    reps = min(blocks, key=med_steal)
     crawl_s = statistics.median(r["wall_s"] for r in reps)
     crawl_ups = statistics.median(r["urls_per_sec"] for r in reps)
 
@@ -214,8 +233,18 @@ def main() -> None:
             "outlinks": stats.outlinks,
             "seconds": round(crawl_s, 3),
             "urls_per_sec": round(crawl_ups, 1),
-            "protocol": f"median of {REPS} pinned reps after warmup",
+            "protocol": (
+                f"median of {REPS} pinned reps after warmup; block rerun "
+                f"while median steal > {steal_gate}% (max {max_blocks} "
+                "blocks), lowest-steal block reported"
+            ),
             "reps": reps,
+            "steal_gate": {
+                "threshold_pct": steal_gate,
+                "blocks_run": len(blocks),
+                "block_median_steal_pct": [med_steal(b) for b in blocks],
+                "all_blocks": blocks if len(blocks) > 1 else None,
+            },
         },
         "cpus": CPUS,
     }
