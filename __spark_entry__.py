@@ -667,6 +667,49 @@ def _mm_decode(spark, sf):
     )
 
 
+def _f9_robots_wildcard(spark, sf):
+    """RFC 9309 wildcard enforcement (robots.compile_rule_regex +
+    politeness.robots_disallow_filter, new in round 5), driver-attested
+    cross-engine: synthetic pending URLs derive deterministically from
+    doc_id (query strings, .pdf suffixes, /cc/pub nesting), three hosts
+    carry FIXED literal rule sets exercising `*`, trailing `$`,
+    prefix-vs-wildcard precedence, and allow-beats-shorter-disallow;
+    the oracle re-derives the same keep set with hand-expanded
+    per-host CASE logic in DuckDB's regex dialect. Plan: broadcast
+    rules join + codegen array folds, zero shuffle."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pq = F.concat(
+        F.lit("/"),
+        F.element_at(
+            F.lit(["cc/pub/p", "cc/p", "docs/p", "p"]),
+            (did % 4 + 1).cast("int"),
+        ),
+        did.cast("string"),
+        F.when(did % 5 == 0, F.lit(".pdf")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit("?sessionid="), did.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    host = F.concat(F.lit("h"), (did % 3).cast("string"), F.lit(".test"))
+    pending = docs.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("http://"), host, pq).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.test", ["/*?sessionid=", "/*.pdf$"], []),
+            ("h1.test", ["/cc"], ["/cc/pub"]),
+            ("h2.test", ["/docs/*.pdf$"], ["/docs"]),
+        ],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    from ironspark.politeness import robots_disallow_filter
+
+    return robots_disallow_filter(pending, robots).select(
+        "doc_id", "host", "url"
+    )
+
+
 # -- URL canonicalization (P8; pandas UDF — oracle restricted to fixed shapes) --
 
 def _p8_canonicalize(spark, sf):
@@ -889,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_date_funcs": _dt_date_funcs,
         "j_json_extract": _j_json_extract,
         "mm_decode": _mm_decode,  # new in round 5 (real PNG codec)
+        "f9_robots_wildcard": _f9_robots_wildcard,  # new in round 5
         # -- r4-attested, kept in the window ---------------------------
         "t_decontaminate": _t_decontaminate,
         "t_gopher_quality": _t_gopher_quality,
@@ -1426,6 +1470,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents"
+        ),
+        # f9: the robots rule sets are FIXED literals, so the RFC 9309
+        # most-specific-match decision (wildcards compiled to regex on
+        # the Spark side) expands to per-host CASE logic in DuckDB's
+        # regex dialect — a cross-engine check of the wildcard
+        # translation itself.
+        "f9_robots_wildcard": (
+            "WITH p AS (SELECT doc_id, 'h' || (doc_id % 3) || '.test' AS host, "
+            "'/' || (['cc/pub/p','cc/p','docs/p','p'])[CAST(doc_id % 4 AS INT) + 1] "
+            "|| doc_id "
+            "|| CASE WHEN doc_id % 5 = 0 THEN '.pdf' ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN '?sessionid=' || doc_id ELSE '' END "
+            "AS pq FROM documents) "
+            "SELECT doc_id, host, 'http://' || host || pq AS url FROM p "
+            "WHERE NOT ("
+            "(host = 'h0.test' AND (regexp_matches(pq, '^/.*\\?sessionid=') "
+            "OR regexp_matches(pq, '^/.*\\.pdf$'))) "
+            "OR (host = 'h1.test' AND starts_with(pq, '/cc') "
+            "AND NOT starts_with(pq, '/cc/pub')) "
+            "OR (host = 'h2.test' AND regexp_matches(pq, '^/docs/.*\\.pdf$')))"
         ),
         # mm_decode: the Spark side encodes REAL PNGs and decodes them
         # back; the oracle recomputes the expected pixel bytes directly
