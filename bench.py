@@ -245,6 +245,15 @@ def main() -> None:
                 "block_median_steal_pct": [med_steal(b) for b in blocks],
                 "all_blocks": blocks if len(blocks) > 1 else None,
             },
+            "era_note": (
+                "absolute walls on this shared host drift 10-85% between "
+                "hypervisor eras that steal% does not fully see "
+                "(BENCH.md round-4/5 analysis); round-over-round crawl "
+                "comparisons are only valid within a same-block "
+                "interleaved A/B. Per-rep steal and block retries are "
+                "disclosed above; when every block exceeds the steal "
+                "gate the lowest-steal block is reported."
+            ),
         },
         "cpus": CPUS,
     }

@@ -241,16 +241,22 @@ def _resolve_links(hrefs: list[str], base_url: str) -> list[str]:
     urljoin returns an http(s) absolute href UNCHANGED when the base
     scheme matches or differs (probed: no dot-segment normalization, no
     re-encoding) — so lowercase-scheme absolute links skip the call
-    entirely. That is ~100% of links on real web-graph pages."""
+    entirely. That is ~100% of links on real web-graph pages.
+
+    EXCEPTION: urllib strips ASCII tab/CR/LF anywhere in a URL
+    (WHATWG-aligned, bpo-43882), so an absolute href containing any of
+    them must NOT skip the call — hypothesis found the divergence via
+    an href ending mid-attribute with a literal tab."""
     out = []
     for href in hrefs:
         # empty-netloc hrefs ("http://", "http:///x") inherit the base
         # netloc in urljoin — only a real host may skip the call
-        if href.startswith("http://"):
+        unsafe = "\t" in href or "\r" in href or "\n" in href
+        if not unsafe and href.startswith("http://"):
             if len(href) > 7 and href[7] not in "/?#":
                 out.append(href)
                 continue
-        elif href.startswith("https://"):
+        elif not unsafe and href.startswith("https://"):
             if len(href) > 8 and href[8] not in "/?#":
                 out.append(href)
                 continue

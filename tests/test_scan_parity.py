@@ -164,3 +164,20 @@ def test_random_soup_parity(atoms):
 @given(st.text(alphabet="<>/ab &;#'\"=-!?", max_size=60))
 def test_random_text_parity(s):
     assert_parity(s)
+
+
+def test_unsafe_bytes_in_absolute_href():
+    """urllib strips tab/CR/LF anywhere in a URL (WHATWG-aligned,
+    bpo-43882); the absolute-href fast path must not skip that.
+    Hypothesis-found 2026-08-18."""
+    for html, want in [
+        ("<a href='http://h/x</\t<a href='<article>", ["http://h/x</<a href="]),
+        ("<a href='http://h/a\nb'>", ["http://h/ab"]),
+        # cross-scheme: urljoin returns the href UNCHANGED before its
+        # unsafe-byte strip (scheme != base scheme short-circuits), so
+        # the \r survives — parity is with urljoin, not with WHATWG
+        ("<a href='https://h/a\rb'>", ["https://h/a\rb"]),
+        ("<a href='http://\th/x'>", ["http://h/x"]),
+    ]:
+        assert harvest_links(html, BASE) == harvest_links_spec(html, BASE), html
+        assert harvest_links(html, BASE) == want, html
