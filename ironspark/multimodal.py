@@ -234,6 +234,77 @@ def encode_png(pixels: np.ndarray, filters=None) -> bytes:
     )
 
 
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn frame headers; DHT/JPG/DAC excluded
+
+
+def image_dims(payload: bytes) -> dict:
+    """Header-only (width, height, format) for PNG / JPEG / GIF / BMP —
+    no pixel decode, just the container's dimension fields, the piece
+    of metadata a curation pipeline filters on (min-resolution rules)
+    without paying a decode. Pure stdlib marker/chunk walks:
+
+    * PNG: IHDR bytes 0-8 (spec §11.2.2)
+    * JPEG: segment walk to the first SOFn marker (ITU T.81 §B.2.2);
+      height/width are big-endian at offsets 3/5 of the frame header
+    * GIF: logical screen descriptor, little-endian uint16 at 6/8
+    * BMP: BITMAPINFOHEADER int32s at 18/22 (height may be negative =
+      top-down; absolute value reported)
+
+    Raises ValueError for anything else (caller keeps the error row).
+    """
+    b = payload or b""
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        if len(b) < 24:
+            raise ValueError("truncated PNG")
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if marker in _SOF_MARKERS:
+                if pos + 9 > len(b):
+                    raise ValueError("truncated JPEG SOF")
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                    "width": int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                }
+            pos += 2 + seg_len
+        raise ValueError("no JPEG SOF marker found")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ValueError("truncated GIF")
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    if b[:2] == b"BM":
+        if len(b) < 26:
+            raise ValueError("truncated BMP")
+        return {
+            "format": "bmp",
+            "width": abs(int.from_bytes(b[18:22], "little", signed=True)),
+            "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
+        }
+    raise ValueError("unrecognized image container")
+
+
 def decode_image(payload: bytes) -> dict:
     """Codec entry point: REAL for PNG (``decode_png``); other formats
     need PIL/opencv, not present in this container — swap the fallback

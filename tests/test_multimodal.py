@@ -158,3 +158,45 @@ def test_encode_png_matches_independent_encoder_and_roundtrips():
     assert decode_png(encode_png(g))["channels"] == 1
     rgba = rng.randint(0, 256, size=(2, 2, 4), dtype=np.uint8)
     assert decode_png(encode_png(rgba))["pixels"].tobytes() == rgba.tobytes()
+
+
+def test_image_dims_headers():
+    """Header-only dims for PNG/JPEG/GIF/BMP from hand-built minimal
+    containers (ITU T.81 / GIF89a / BITMAPINFOHEADER layouts)."""
+    from ironspark.multimodal import image_dims
+
+    # PNG via our own encoder
+    png = make_png(np.zeros((3, 7, 3), dtype=np.uint8), ctype=2)
+    assert image_dims(png) == {"format": "png", "width": 7, "height": 3}
+
+    # minimal JPEG: SOI, APP0 (len 4), DQT-ish skip seg, SOF0, EOI
+    jpeg = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"   # APP0
+        + b"\xff\xdb" + (5).to_bytes(2, "big") + b"\x00\x00\x00"  # DQT
+        + b"\xff\xc0" + (11).to_bytes(2, "big")  # SOF0, len 11
+        + b"\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03\x01\x11\x00"
+        + b"\xff\xd9"                      # EOI
+    )
+    assert image_dims(jpeg) == {"format": "jpeg", "width": 640, "height": 480}
+    # restart markers / fill bytes before SOF are skipped
+    jpeg2 = b"\xff\xd8\xff\xff" + b"\xff\xd0" + jpeg[2:]
+    assert image_dims(jpeg2)["width"] == 640
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 3
+    assert image_dims(gif) == {"format": "gif", "width": 320, "height": 200}
+
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (1024).to_bytes(4, "little")
+        + (-768).to_bytes(4, "little", signed=True)  # top-down BMP
+    )
+    assert image_dims(bmp) == {"format": "bmp", "width": 1024, "height": 768}
+
+    with pytest.raises(ValueError):
+        image_dims(b"not an image")
+    with pytest.raises(ValueError):
+        image_dims(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")  # no SOF
+    with pytest.raises(ValueError):
+        image_dims(b"GIF89a\x01")  # truncated
