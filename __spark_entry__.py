@@ -710,6 +710,34 @@ def _f9_robots_wildcard(spark, sf):
     )
 
 
+def _fr_recrawl_due(spark, sf):
+    """Freshness-driven recrawl selection (frontier.recrawl_due, new in
+    round 5): events rows act as fetch history — url keyed by
+    (user_id, event_type), host = user_id % 20 — and the scheduler
+    re-admits the stalest URLs (>= 3 days since last fetch as of the
+    fixed 'now') under a per-host budget of 5, stalest-first with a
+    deterministic url tie-break. One hash-agg + one per-host window."""
+    from ironspark.frontier import recrawl_due
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+    )
+    hist = ev.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/u"),
+            F.col("user_id").cast("string"), F.lit("/"), F.col("event_type"),
+        ).alias("url"),
+        host.alias("host"),
+        "ts",
+    )
+    out = recrawl_due(
+        hist, "2024-01-31 00:00:00", interval_seconds=3 * 86400.0,
+        per_host_budget=5,
+    )
+    return out.withColumn("age_seconds", F.round("age_seconds", 6))
+
+
 # -- URL canonicalization (P8; pandas UDF — oracle restricted to fixed shapes) --
 
 def _p8_canonicalize(spark, sf):
@@ -933,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_json_extract": _j_json_extract,
         "mm_decode": _mm_decode,  # new in round 5 (real PNG codec)
         "f9_robots_wildcard": _f9_robots_wildcard,  # new in round 5
+        "fr_recrawl_due": _fr_recrawl_due,  # new in round 5
         # -- r4-attested, kept in the window ---------------------------
         "t_decontaminate": _t_decontaminate,
         "t_gopher_quality": _t_gopher_quality,
@@ -1490,6 +1519,21 @@ def oracle_sql() -> dict[str, str]:
             "OR (host = 'h1.test' AND starts_with(pq, '/cc') "
             "AND NOT starts_with(pq, '/cc/pub')) "
             "OR (host = 'h2.test' AND regexp_matches(pq, '^/docs/.*\\.pdf$')))"
+        ),
+        "fr_recrawl_due": (
+            "WITH h AS (SELECT 'http://h' || (user_id % 20) || '.test/u' || "
+            "user_id || '/' || event_type AS url, "
+            "'h' || (user_id % 20) || '.test' AS host, ts FROM events), "
+            "l AS (SELECT url, host, max(ts) AS last_fetch, "
+            "CAST(count(*) AS BIGINT) AS n_fetches FROM h GROUP BY url, host), "
+            "d AS (SELECT *, epoch(TIMESTAMP '2024-01-31 00:00:00') - "
+            "epoch(last_fetch) AS age_s FROM l "
+            "WHERE epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(last_fetch) "
+            ">= 259200.0), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY age_s DESC, url) AS rk FROM d) "
+            "SELECT url, host, last_fetch, n_fetches, "
+            "ROUND(age_s, 6) AS age_seconds FROM r WHERE rk <= 5"
         ),
         # mm_decode: the Spark side encodes REAL PNGs and decodes them
         # back; the oracle recomputes the expected pixel bytes directly

@@ -230,3 +230,57 @@ def enqueue_outlinks(
         candidates, ["parent_seq", "link_index"], base_seq, bounds=bounds
     )
     return _finish_frontier(f.drop("parent_seq", "link_index")), n
+
+
+def recrawl_due(
+    history: DataFrame,
+    now,
+    interval_seconds: float = 7 * 86400.0,
+    per_host_budget: int = 5,
+) -> DataFrame:
+    """Freshness-driven recrawl selection for a CONTINUOUS crawl.
+
+    The reference crawls once and stops; a production frontier cycles:
+    every URL carries its fetch history, and each scheduling round
+    re-admits the stalest due URLs under the same per-host politeness
+    budget the first-visit scheduler uses (the deletable cuckoo seen
+    backend exists exactly so re-admitted URLs can clear their seen
+    fingerprint, seen.py ShardedCuckoo).
+
+    history: (url, host, ts) — one row per past fetch. A URL is due
+    when now - last_fetch >= interval_seconds; due URLs rank
+    stalest-first per host and the top ``per_host_budget`` win.
+    Deterministic tie-break on url so reruns (and the DuckDB oracle)
+    agree.
+
+    Scale shape: ONE hash-agg by (url, host) — shuffle carries only
+    the key columns — then a per-host window over the due subset.
+    Hosts number in the millions at web scale so the window
+    partitioning is naturally wide; a single mega-host's due set is
+    bounded by its own URL count, and the same two-phase salted-rank
+    treatment as politeness.select_wave applies if one host ever
+    dominates a round (budget here is small, so phase 1 alone would
+    cut it to buckets x budget rows).
+
+    Returns (url, host, last_fetch, n_fetches, age_seconds) of the
+    scheduled URLs.
+    """
+    last = history.groupBy("url", "host").agg(
+        F.max("ts").alias("last_fetch"), F.count("*").alias("n_fetches")
+    )
+    age = F.col("age_seconds")
+    due = last.withColumn(
+        "age_seconds",
+        F.lit(now).cast("timestamp").cast("double")
+        # NTZ columns (parquet default) refuse a direct double cast;
+        # the hop through TIMESTAMP is exact under the UTC session tz
+        - F.col("last_fetch").cast("timestamp").cast("double"),
+    ).filter(age >= F.lit(float(interval_seconds)))
+    w = Window.partitionBy("host").orderBy(
+        F.col("age_seconds").desc(), F.col("url")
+    )
+    return (
+        due.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_host_budget)
+        .drop("_rk")
+    )
