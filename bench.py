@@ -49,6 +49,8 @@ QUERY_NAMES = [
     # round 4 additions (grow "total" by their medians vs r3)
     "t_decontaminate", "t_tfidf_topk", "t_stratified_sample",
     "t_domain_stats",
+    # round 5 additions (grow "total" by their medians vs r4)
+    "mm_decode", "f9_robots_wildcard", "fr_recrawl_due",
 ]
 
 
