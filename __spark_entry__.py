@@ -556,6 +556,30 @@ def _t_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"))
 
 
+def _t_line_dedup(spark, sf):
+    from ironspark.textops import corpus_line_dedup
+
+    docs = _t(spark, sf, "documents")
+    # The synthetic corpus is single-line; derive deterministic "lines"
+    # as 10-word chunks (identically in the oracle), then run the
+    # operator with its natural newline contract. Near-dup/exact-dup
+    # documents share chunks, so the dedup does real work here.
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
+    )
+    docs2 = docs.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+    return corpus_line_dedup(docs2, min_docs=3)
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -975,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _t_stratified_sample,
         "t_domain_stats": _t_domain_stats,
         "t_length_quantiles": _t_length_quantiles,
+        "t_line_dedup": _t_line_dedup,  # new in round 5
         "q2_supplier_region": _q2_supplier_region,
         "q3_part_brand": _q3_part_brand,
         "f3_politeness_topk": _f3_politeness_topk,
@@ -1382,6 +1407,27 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, "
             "ROUND(quantile_cont(n_chars, 0.99), 6) AS p99 "
             "FROM documents GROUP BY lang"
+        ),
+        "t_line_dedup": (
+            "WITH ws0 AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "chunked AS (SELECT doc_id, array_to_string(list_transform("
+            "generate_series(1, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1)), "
+            "i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' ')), chr(10)) AS text "
+            "FROM ws0), "
+            "lines AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS line_idx, "
+            "unnest(l) AS line FROM (SELECT doc_id, string_split(text, chr(10)) AS l "
+            "FROM chunked)), "
+            "dup AS (SELECT md5(line) AS h FROM lines GROUP BY 1 "
+            "HAVING COUNT(DISTINCT doc_id) >= 3), "
+            "kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT h FROM dup)), "
+            "reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY line_idx) AS clean_text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT c.doc_id, CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines, "
+            "COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text "
+            "FROM chunked c LEFT JOIN reb r USING (doc_id)"
         ),
         "t_domain_stats": (
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

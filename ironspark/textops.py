@@ -757,3 +757,69 @@ def length_quantiles(
             F.round(F.col("_q")[2], 6).alias("p99"),
         )
     )
+
+
+def corpus_line_dedup(
+    documents: DataFrame, min_docs: int = 2, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (CCNet-style boilerplate
+    scrub): any line whose exact text occurs in >= ``min_docs``
+    distinct documents is dropped from every document; the survivors
+    are reassembled in original order.
+
+    This is the pass that strips nav bars, cookie banners and footers
+    from web text before training (Wenzek et al., CCNet 2019, step 1 —
+    they dedup on paragraph hashes across shards; we dedup on line
+    hashes across the corpus, the same shape).
+
+    Returns (doc_id, n_lines, n_kept, clean_text); documents whose
+    every line was boilerplate survive with n_kept=0 / clean_text=''.
+
+    Scale: three shuffles, all key-hashed —
+      1. line-hash count-distinct-docs: map-side partial aggregation
+         does the heavy lifting because boilerplate lines repeat
+         millions of times (that is what makes them boilerplate);
+      2. the anti-join of lines vs the dup-hash set: the dup set is
+         the *repeated* tail only, orders of magnitude smaller than
+         the corpus — AQE broadcasts it when it fits, else it is a
+         shuffled-hash anti-join on line_hash;
+      3. the doc_id regroup to reassemble: payload bounded by a
+         single document's size.
+    No step holds more than one document (or one hash bucket) in
+    memory; at 10^10 docs CCNet shards this exact plan by hash
+    prefix, which is what the shuffle already does. All string
+    hashing is md5 (portable to the DuckDB oracle).
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", sep)).alias("line_idx", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    dup = (
+        lines.groupBy("line_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line_hash")
+    )
+    kept = lines.join(dup, "line_hash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    base = documents.select(
+        "doc_id", F.size(F.split("text", sep)).cast("long").alias("n_lines")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

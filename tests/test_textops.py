@@ -378,3 +378,53 @@ def test_length_quantiles_semantics(spark):
     assert abs(en["p99"] - 99.1) < 1e-9
     de = out.loc["de"]
     assert de["n_docs"] == 4 and abs(de["p50"] - 125.0) < 1e-9
+
+
+def test_corpus_line_dedup_drops_boilerplate(spark):
+    from ironspark.textops import corpus_line_dedup
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique alpha content\n{footer}\nmore alpha"),
+        (2, f"unique beta content\n{footer}"),
+        (3, f"{footer}\nunique gamma content"),
+        (4, "entirely original document"),
+        (5, footer),  # nothing but boilerplate -> emptied
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus_line_dedup(docs, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha content\nmore alpha"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "unique beta content"
+    assert out[3]["clean_text"] == "unique gamma content"
+    # untouched doc survives byte-identical
+    assert out[4]["clean_text"] == "entirely original document"
+    # all-boilerplate doc keeps its row with empty text, not a dropped row
+    assert (out[5]["n_kept"], out[5]["clean_text"]) == (0, "")
+
+
+def test_corpus_line_dedup_threshold_is_distinct_docs(spark):
+    from ironspark.textops import corpus_line_dedup
+
+    # the repeated line appears TWICE in doc 1 but only in 2 distinct
+    # docs -> min_docs=3 keeps it; within-doc repetition must not count
+    rows = [
+        (1, "dup line\ndup line\nown one"),
+        (2, "dup line\nown two"),
+        (3, "own three"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus_line_dedup(docs, min_docs=3).collect()
+    }
+    assert out[1] == "dup line\ndup line\nown one"
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus_line_dedup(docs, min_docs=2).collect()
+    }
+    assert out2[1] == "own one"
+    assert out2[2] == "own two"
