@@ -580,6 +580,31 @@ def _t_line_dedup(spark, sf):
     return corpus_line_dedup(docs2, min_docs=3)
 
 
+# -- link-graph analytics -------------------------------------------------------
+
+def _g_edges(spark, sf):
+    # deterministic directed multigraph derived from lineitem: 1009
+    # nodes, ~60k edges at sf0.01, 12 dangling nodes (dst-only) so the
+    # dangling-mass path is exercised
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 997).cast("long").alias("src"),
+        (F.col("l_partkey") % 1009).cast("long").alias("dst"),
+    )
+
+
+def _g_degree(spark, sf):
+    from ironspark.graph import degree_stats
+
+    return degree_stats(_g_edges(spark, sf))
+
+
+def _g_pagerank(spark, sf):
+    from ironspark.graph import pagerank_fixedpoint
+
+    return pagerank_fixedpoint(_g_edges(spark, sf), iterations=5)
+
+
 # -- similarity search ----------------------------------------------------------
 
 def _query_vec(spark, sf):
@@ -1000,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_domain_stats": _t_domain_stats,
         "t_length_quantiles": _t_length_quantiles,
         "t_line_dedup": _t_line_dedup,  # new in round 5
+        "g_degree": _g_degree,  # new in round 5
+        "g_pagerank": _g_pagerank,  # new in round 5
         "q2_supplier_region": _q2_supplier_region,
         "q3_part_brand": _q3_part_brand,
         "f3_politeness_topk": _f3_politeness_topk,
@@ -1048,6 +1075,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _MD5NUM_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# edge derivation shared by the g_* oracles (mirrors _g_edges)
+_G_EDGES_SQL = (
+    "SELECT CAST(l_orderkey % 997 AS BIGINT) AS src, "
+    "CAST(l_partkey % 1009 AS BIGINT) AS dst FROM lineitem"
+)
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 5,
+    scale: int = 1_000_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """Unrolled fixed-point PageRank mirroring graph.pagerank_fixedpoint:
+    identical integer recurrence, one CTE trio (dangling, contrib, rank)
+    per iteration."""
+    ctes = [
+        f"e AS ({_G_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+        "FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, n_nodes, "
+        f"CAST({scale} AS BIGINT) // n_nodes AS base, "
+        f"CAST({scale} AS BIGINT) // n_nodes AS rank FROM nodes, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes))",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS ds "
+            f"FROM {prev} LEFT JOIN od ON node = src WHERE outdeg IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT dst, CAST(SUM(rank // outdeg) AS BIGINT) AS in_sum "
+            f"FROM e JOIN od USING (src) JOIN {prev} ON {prev}.node = e.src "
+            "GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node, n_nodes, base, "
+            f"(({d_den} - {d_num}) * base + {d_num} * (COALESCE(in_sum, 0) + "
+            f"(SELECT ds FROM d{i}) // n_nodes)) // {d_den} AS rank "
+            f"FROM {prev} LEFT JOIN c{i} ON node = dst)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, rank AS pr_scaled FROM {prev}"
+    )
 
 # PII patterns (textops._PII_*) with SQL-literal quoting; identical
 # byte-for-byte so the oracle exercises the same regex dialect subset
@@ -1408,6 +1485,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(n_chars, 0.99), 6) AS p99 "
             "FROM documents GROUP BY lang"
         ),
+        "g_degree": (
+            f"WITH e AS ({_G_EDGES_SQL}), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+            "o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_edges, "
+            "CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_nbrs FROM e GROUP BY src), "
+            "i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_edges, "
+            "CAST(COUNT(DISTINCT src) AS BIGINT) AS in_nbrs FROM e GROUP BY dst) "
+            "SELECT n.node, COALESCE(o.out_edges, 0) AS out_edges, "
+            "COALESCE(i.in_edges, 0) AS in_edges, "
+            "COALESCE(o.out_nbrs, 0) AS out_nbrs, "
+            "COALESCE(i.in_nbrs, 0) AS in_nbrs "
+            "FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)"
+        ),
+        "g_pagerank": _pagerank_oracle_sql(iterations=5),
         "t_line_dedup": (
             "WITH ws0 AS (SELECT doc_id, "
             "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws "
