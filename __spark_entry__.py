@@ -556,14 +556,13 @@ def _t_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"))
 
 
-def _t_line_dedup(spark, sf):
-    from ironspark.textops import corpus_line_dedup
-
-    docs = _t(spark, sf, "documents")
+def _chunked_docs(spark, sf):
     # The synthetic corpus is single-line; derive deterministic "lines"
-    # as 10-word chunks (identically in the oracle), then run the
-    # operator with its natural newline contract. Near-dup/exact-dup
-    # documents share chunks, so the dedup does real work here.
+    # as 10-word chunks (identically in the oracles), so line-grained
+    # operators run against their natural newline contract.
+    # Near-dup/exact-dup documents share chunks, so line dedup and
+    # repetition signals do real work here.
+    docs = _t(spark, sf, "documents")
     words = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -574,10 +573,19 @@ def _t_line_dedup(spark, sf):
         F.sequence(F.lit(1), n_chunks),
         lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
     )
-    docs2 = docs.select(
-        "doc_id", F.array_join(chunks, "\n").alias("text")
-    )
-    return corpus_line_dedup(docs2, min_docs=3)
+    return docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+
+
+def _t_line_dedup(spark, sf):
+    from ironspark.textops import corpus_line_dedup
+
+    return corpus_line_dedup(_chunked_docs(spark, sf), min_docs=3)
+
+
+def _t_rep_signals(spark, sf):
+    from ironspark.textops import repetition_signals
+
+    return repetition_signals(_chunked_docs(spark, sf), n=2)
 
 
 # -- link-graph analytics -------------------------------------------------------
@@ -1027,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_line_dedup": _t_line_dedup,  # new in round 5
         "g_degree": _g_degree,  # new in round 5
         "g_pagerank": _g_pagerank,  # new in round 5
+        "t_rep_signals": _t_rep_signals,  # new in round 5
         "q2_supplier_region": _q2_supplier_region,
         "q3_part_brand": _q3_part_brand,
         "f3_politeness_topk": _f3_politeness_topk,
@@ -1075,6 +1084,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _MD5NUM_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# 10-word-chunk "lines" shared by the line-grained oracles (mirrors
+# _chunked_docs)
+_CHUNKED_CTE = (
+    "ws0 AS (SELECT doc_id, "
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws "
+    "FROM documents), "
+    "chunked AS (SELECT doc_id, array_to_string(list_transform("
+    "generate_series(1, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1)), "
+    "i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' ')), chr(10)) AS text "
+    "FROM ws0)"
+)
 
 # edge derivation shared by the g_* oracles (mirrors _g_edges)
 _G_EDGES_SQL = (
@@ -1501,13 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "g_pagerank": _pagerank_oracle_sql(iterations=5),
         "t_line_dedup": (
-            "WITH ws0 AS (SELECT doc_id, "
-            "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws "
-            "FROM documents), "
-            "chunked AS (SELECT doc_id, array_to_string(list_transform("
-            "generate_series(1, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1)), "
-            "i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' ')), chr(10)) AS text "
-            "FROM ws0), "
+            f"WITH {_CHUNKED_CTE}, "
             "lines AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS line_idx, "
             "unnest(l) AS line FROM (SELECT doc_id, string_split(text, chr(10)) AS l "
             "FROM chunked)), "
@@ -1520,6 +1535,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id, CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines, "
             "COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text "
             "FROM chunked c LEFT JOIN reb r USING (doc_id)"
+        ),
+        "t_rep_signals": (
+            f"WITH {_CHUNKED_CTE}, "
+            "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM chunked), "
+            "pl AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM lines GROUP BY doc_id, line), "
+            "ls AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines, "
+            "CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_lines, "
+            "CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars, "
+            "CAST(SUM(cnt * length(line)) AS BIGINT) AS line_chars "
+            "FROM pl GROUP BY doc_id), "
+            "wl AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws "
+            "FROM chunked), "
+            "sh AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ws) - 1, 0)), "
+            "i -> ws[i] || ' ' || ws[i+1])) AS shingle FROM wl), "
+            "pg AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM sh GROUP BY doc_id, shingle), "
+            "tg AS (SELECT doc_id, CAST(MAX(cnt * length(shingle)) AS BIGINT) "
+            "AS top_gram_chars FROM pg GROUP BY doc_id) "
+            "SELECT c.doc_id, ls.n_lines, ls.n_dup_lines, "
+            "ROUND(ls.n_dup_lines / ls.n_lines, 6) AS dup_line_frac, "
+            "ROUND(ls.dup_line_chars / greatest(ls.line_chars, 1), 6) "
+            "AS dup_line_char_frac, "
+            "ROUND(COALESCE(tg.top_gram_chars, 0) / greatest(length(c.text), 1), 6) "
+            "AS top_ngram_char_frac "
+            "FROM chunked c LEFT JOIN ls USING (doc_id) "
+            "LEFT JOIN tg USING (doc_id)"
         ),
         "t_domain_stats": (
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -823,3 +823,76 @@ def corpus_line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def repetition_signals(
+    documents: DataFrame, sep: str = "\n", n: int = 2
+) -> DataFrame:
+    """Gopher intra-document repetition filters (Rae et al. 2021,
+    Table A1): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and the top word-n-gram character-coverage fraction —
+    the signals that catch machine-generated spam pages (keyword
+    stuffing, navigation loops) that length/stopword rules miss.
+
+    Returns (doc_id, n_lines, n_dup_lines, dup_line_frac,
+    dup_line_char_frac, top_ngram_char_frac). "Top n-gram coverage"
+    is max over n-grams of occurrences*len(gram) / len(text) — the
+    deterministic variant of Gopher's most-frequent-n-gram rule (no
+    tie-break ambiguity).
+
+    Scale: two explode+groupBy chains, both keyed (doc_id, token) then
+    re-aggregated by doc_id — map-side combine absorbs the intra-doc
+    repetition that is the signal itself, so the shuffle carries
+    near-distinct rows. All fractions are per-row arithmetic on exact
+    integer aggregates (portable to the DuckDB oracle bit-for-bit).
+    """
+    lines = documents.select(
+        "doc_id", F.explode(F.split("text", sep)).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt")
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (F.sum("cnt") - F.count("*")).cast("long").alias("n_dup_lines"),
+        F.sum((F.col("cnt") - F.lit(1)) * F.length("line"))
+        .cast("long")
+        .alias("dup_line_chars"),
+        F.sum(F.col("cnt") * F.length("line"))
+        .cast("long")
+        .alias("line_chars"),
+    )
+    grams = _shingles(documents, n).groupBy("doc_id", "shingle").agg(
+        F.count("*").alias("cnt")
+    )
+    top = grams.groupBy("doc_id").agg(
+        F.max(F.col("cnt") * F.length("shingle"))
+        .cast("long")
+        .alias("top_gram_chars")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        documents.select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        )
+        .join(line_stats, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(
+                F.col("dup_line_chars")
+                / F.greatest(F.col("line_chars"), F.lit(1)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.coalesce("top_gram_chars", zero)
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("top_ngram_char_frac"),
+        )
+    )

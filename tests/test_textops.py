@@ -428,3 +428,32 @@ def test_corpus_line_dedup_threshold_is_distinct_docs(spark):
     }
     assert out2[1] == "own one"
     assert out2[2] == "own two"
+
+
+def test_repetition_signals_semantics(spark):
+    from ironspark.textops import repetition_signals
+
+    rows = [
+        # 3 lines, "spam spam" repeated: 1 dup line of the 3
+        (1, "spam spam\nspam spam\nreal content here"),
+        # no repetition at all
+        (2, "every line once\nanother line"),
+        # keyword stuffing: "buy now" bigram dominates
+        (3, "buy now buy now buy now buy now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(docs, n=2).collect()}
+
+    r1 = out[1]
+    assert (r1["n_lines"], r1["n_dup_lines"]) == (3, 1)
+    assert r1["dup_line_frac"] == round(1 / 3, 6)
+    # dup chars = 1 extra "spam spam" (9) over 9+9+17 line chars
+    assert r1["dup_line_char_frac"] == round(9 / 35, 6)
+
+    r2 = out[2]
+    assert (r2["n_dup_lines"], r2["dup_line_frac"]) == (0, 0.0)
+
+    # doc 3: bigram "buy now" occurs 4x (overlapping "now buy" 3x);
+    # top coverage = 4 * len("buy now") / len(text) = 28/31
+    r3 = out[3]
+    assert r3["top_ngram_char_frac"] == round(28 / 31, 6)
