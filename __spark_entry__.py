@@ -724,6 +724,56 @@ def _mm_decode(spark, sf):
     )
 
 
+def _mm_audio(spark, sf):
+    """REAL WAV codec round trip, distributed (multimodal.encode_wav /
+    decode_wav + audio_stats_stage semantics — new in round 5): per
+    doc, synthesize a deterministic int16 mono waveform
+    s_i = (doc_id*(i+1)) % 65536 - 32768 for i in 0..n-1 with
+    n = 50 + doc_id % 13 at rate 8000 + (doc_id % 3)*4000, serialize
+    it to RIFF/WAVE bytes, decode those bytes back, and emit exact
+    integer stats. The oracle recomputes the waveform arithmetically —
+    a wrong chunk walk, byte order, or de-interleave hash-mismatches.
+    One Arrow pass, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ironspark.multimodal import decode_wav, encode_wav
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "bits",
+                "n_frames", "duration_ms", "sum_sq", "peak",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 13
+                rate = 8000 + (did % 3) * 4000
+                s = np.array(
+                    [(did * (i + 1)) % 65536 - 32768 for i in range(n)],
+                    dtype=np.int16,
+                )
+                w = decode_wav(encode_wav(s, sample_rate=rate))
+                arr = w["samples"].astype(np.int64)
+                out["media_id"].append(did)
+                out["sample_rate"].append(np.int32(w["sample_rate"]))
+                out["channels"].append(np.int32(w["channels"]))
+                out["bits"].append(np.int32(w["bits"]))
+                out["n_frames"].append(w["n_frames"])
+                out["duration_ms"].append(
+                    w["n_frames"] * 1000 // w["sample_rate"]
+                )
+                out["sum_sq"].append(int(np.sum(arr * arr)))
+                out["peak"].append(np.int32(np.max(np.abs(arr))))
+            yield pd.DataFrame(out)
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        run,
+        "media_id long, sample_rate int, channels int, bits int, "
+        "n_frames long, duration_ms long, sum_sq long, peak int",
+    )
+
+
 def _f9_robots_wildcard(spark, sf):
     """RFC 9309 wildcard enforcement (robots.compile_rule_regex +
     politeness.robots_disallow_filter, new in round 5), driver-attested
@@ -1017,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_date_funcs": _dt_date_funcs,
         "j_json_extract": _j_json_extract,
         "mm_decode": _mm_decode,  # new in round 5 (real PNG codec)
+        "mm_audio": _mm_audio,  # new in round 5 (real WAV codec)
         "f9_robots_wildcard": _f9_robots_wildcard,  # new in round 5
         "fr_recrawl_due": _fr_recrawl_due,  # new in round 5
         # -- r4-attested, kept in the window ---------------------------
@@ -1727,6 +1778,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT string_agg(printf('%02x', (doc_id*(j+1))%256), '' ORDER BY j) "
             "FROM generate_series(0,11) t(j)) AS pixel_hex "
             "FROM documents"
+        ),
+        # mm_audio: the Spark side serializes REAL WAV bytes and decodes
+        # them back; the oracle recomputes the synthetic waveform's exact
+        # integer stats arithmetically
+        "mm_audio": (
+            "WITH p AS (SELECT doc_id, CAST(50 + doc_id % 13 AS BIGINT) AS n, "
+            "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate FROM documents), "
+            "s AS (SELECT doc_id, unnest(list_transform(generate_series(1, n), "
+            "i -> CAST((doc_id * i) % 65536 - 32768 AS BIGINT))) AS v FROM p), "
+            "a AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sum_sq, "
+            "CAST(MAX(ABS(v)) AS INT) AS peak FROM s GROUP BY doc_id) "
+            "SELECT p.doc_id AS media_id, p.rate AS sample_rate, "
+            "CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits, "
+            "p.n AS n_frames, (p.n * 1000) // p.rate AS duration_ms, "
+            "a.sum_sq, a.peak FROM p JOIN a USING (doc_id)"
         ),
         "mm_frame_sample": (
             "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb "
