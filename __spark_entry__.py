@@ -1042,14 +1042,17 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 65 — so the FRONT of the
+    # entries per round while this dict holds 71 — so the FRONT of the
     # dict is the round-5 attestation window: the 14 entries whose
-    # last driver row was r1-r3 (they rotated out of r4's window) plus
-    # the new mm_decode, then the heavyweight r4-attested entries. The
-    # 15 rotated out this round were ALL driver-green in r4
-    # (CORRECTNESS_r04.json), so every entry keeps a driver-green row
-    # within the last two rounds. Every entry stays shipped and green
-    # under scripts/driver_gate.py; only attestation order changes.
+    # last driver row was r1-r3 (they rotated out of r4's window),
+    # then the 8 new round-5 entries (mm_decode, mm_audio,
+    # f9_robots_wildcard, fr_recrawl_due, t_line_dedup, g_degree,
+    # g_pagerank, t_rep_signals), then r4-attested entries. Everything
+    # past position ~50 (including f4/m8/d2/d1/p8 at the window edge)
+    # was driver-green in r4 (CORRECTNESS_r04.json), so every entry
+    # keeps a driver-green row within the last two rounds. Every entry
+    # stays shipped and green under scripts/driver_gate.py; only
+    # attestation order changes.
     return {
         # -- unattested in r4 (last driver row r1-r3) → front ---------
         "m9_scheduler_depth": _m9_scheduler_depth,
