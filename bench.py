@@ -51,6 +51,8 @@ QUERY_NAMES = [
     "t_domain_stats",
     # round 5 additions (grow "total" by their medians vs r4)
     "mm_decode", "f9_robots_wildcard", "fr_recrawl_due",
+    "t_line_dedup", "t_rep_signals", "g_degree", "g_pagerank",
+    "mm_audio",
 ]
 
 
