@@ -1042,19 +1042,40 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 71 — so the FRONT of the
-    # dict is the round-5 attestation window: the 14 entries whose
-    # last driver row was r1-r3 (they rotated out of r4's window),
-    # then the 8 new round-5 entries (mm_decode, mm_audio,
-    # f9_robots_wildcard, fr_recrawl_due, t_line_dedup, g_degree,
-    # g_pagerank, t_rep_signals), then r4-attested entries. Everything
-    # past position ~50 (including f4/m8/d2/d1/p8 at the window edge)
-    # was driver-green in r4 (CORRECTNESS_r04.json), so every entry
-    # keeps a driver-green row within the last two rounds. Every entry
-    # stays shipped and green under scripts/driver_gate.py; only
-    # attestation order changes.
+    # entries per round while this dict holds 72 (+ any new round-6
+    # entries) — so the FRONT of the dict is the round-6 attestation
+    # window: the 22 entries whose last driver row was r4 (they sat
+    # past r5's window edge; all 22 were gate-green in the r5 review),
+    # then new round-6 entries, then the 50 entries driver-attested in
+    # CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
+    # row within the last two rounds. Every entry stays shipped and
+    # green under scripts/driver_gate.py; only attestation order
+    # changes.
     return {
-        # -- unattested in r4 (last driver row r1-r3) → front ---------
+        # -- last driver row r4 (gate-green in the r5 review) → front --
+        "a_knn_join": _a_knn_join,
+        "a_ivf_assign": _a_ivf_assign,
+        "a_ivf_topk": _a_ivf_topk,
+        "mm_metadata": _mm_metadata,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_feature": _mm_feature,
+        "f4_admission": _f4_admission,
+        "m8_spider_counters": _m8_spider_counters,
+        "d2_status_filter": _d2_status_filter,
+        "d1_retry_union": _d1_retry_union,
+        "p8_canonicalize": _p8_canonicalize,
+        "m1_counter_sums": _m1_counter_sums,
+        "m2_status_histogram": _m2_status_histogram,
+        "m3_error_histogram": _m3_error_histogram,
+        "m6_peak_gauge": _m6_peak_gauge,
+        "f2_fifo_order_limit": _f2_fifo_order_limit,
+        "f5_backpressure_cap": _f5_backpressure_cap,
+        "f7_rate_budget": _f7_rate_budget,
+        "d3_error_classify": _d3_error_classify,
+        "d4_wire_size": _d4_wire_size,
+        "t_token_count": _t_token_count,
+        "t_quality": _t_quality,
+        # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
         "a_ivf_index": _a_ivf_index,
@@ -1069,11 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_rollup": _g_rollup,
         "dt_date_funcs": _dt_date_funcs,
         "j_json_extract": _j_json_extract,
-        "mm_decode": _mm_decode,  # new in round 5 (real PNG codec)
-        "mm_audio": _mm_audio,  # new in round 5 (real WAV codec)
-        "f9_robots_wildcard": _f9_robots_wildcard,  # new in round 5
-        "fr_recrawl_due": _fr_recrawl_due,  # new in round 5
-        # -- r4-attested, kept in the window ---------------------------
+        "mm_decode": _mm_decode,
+        "mm_audio": _mm_audio,
+        "f9_robots_wildcard": _f9_robots_wildcard,
+        "fr_recrawl_due": _fr_recrawl_due,
         "t_decontaminate": _t_decontaminate,
         "t_gopher_quality": _t_gopher_quality,
         "t_tfidf_topk": _t_tfidf_topk,
@@ -1086,10 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _t_stratified_sample,
         "t_domain_stats": _t_domain_stats,
         "t_length_quantiles": _t_length_quantiles,
-        "t_line_dedup": _t_line_dedup,  # new in round 5
-        "g_degree": _g_degree,  # new in round 5
-        "g_pagerank": _g_pagerank,  # new in round 5
-        "t_rep_signals": _t_rep_signals,  # new in round 5
+        "t_line_dedup": _t_line_dedup,
+        "g_degree": _g_degree,
+        "g_pagerank": _g_pagerank,
+        "t_rep_signals": _t_rep_signals,
         "q2_supplier_region": _q2_supplier_region,
         "q3_part_brand": _q3_part_brand,
         "f3_politeness_topk": _f3_politeness_topk,
@@ -1106,30 +1126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_langid": _t_langid,
         "t_fingerprint": _t_fingerprint,
         "a_cosine_topk": _a_cosine_topk,
-        "a_knn_join": _a_knn_join,
-        "a_ivf_assign": _a_ivf_assign,
-        "a_ivf_topk": _a_ivf_topk,
-        "mm_metadata": _mm_metadata,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_feature": _mm_feature,
-        "f4_admission": _f4_admission,
-        "m8_spider_counters": _m8_spider_counters,
-        "d2_status_filter": _d2_status_filter,
-        "d1_retry_union": _d1_retry_union,
-        "p8_canonicalize": _p8_canonicalize,
-        # -- rotated out of the ~50-entry attestation window this round
-        # (every one driver-green in CORRECTNESS_r04.json) -------------
-        "m1_counter_sums": _m1_counter_sums,
-        "m2_status_histogram": _m2_status_histogram,
-        "m3_error_histogram": _m3_error_histogram,
-        "m6_peak_gauge": _m6_peak_gauge,
-        "f2_fifo_order_limit": _f2_fifo_order_limit,
-        "f5_backpressure_cap": _f5_backpressure_cap,
-        "f7_rate_budget": _f7_rate_budget,
-        "d3_error_classify": _d3_error_classify,
-        "d4_wire_size": _d4_wire_size,
-        "t_token_count": _t_token_count,
-        "t_quality": _t_quality,
     }
 
 

@@ -491,6 +491,15 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + sz > len(b) and cid in (b"fmt ", b"data"):
+            # a declared size past the payload end means the file was
+            # truncated in transit; silently decoding the partial data
+            # chunk would be indistinguishable from a complete shorter
+            # recording downstream (ADVICE r5)
+            raise ValueError(
+                f"truncated {cid.decode('ascii').strip()} chunk: declares "
+                f"{sz} bytes, only {len(b) - pos - 8} remain"
+            )
         chunk = b[pos + 8 : pos + 8 + sz]
         if cid == b"fmt " and fmt is None:
             fmt = chunk

