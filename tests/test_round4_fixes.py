@@ -53,8 +53,8 @@ def test_cookie_harvest_is_per_host(spark):
 # a (shard, fp, bucket)-colliding url pair for the cuckoo geometry
 # capacity=4096 / shards=4 (nbuckets=512), found by brute force:
 # both hash to shard 3, fp 58931, buckets {460, 268}
-_COLL_A = "http://h.example.com/p/2258"
-_COLL_B = "http://h.example.com/p/2847"
+_COLL_A = "http://h.example.com/p/3843"
+_COLL_B = "http://h.example.com/p/4352"
 
 
 def test_collision_pair_still_collides():

@@ -63,3 +63,144 @@ def test_decode_wav_complete_file_still_decodes():
     full = encode_wav(np.arange(100, dtype=np.int16), sample_rate=8000)
     out = decode_wav(full)
     assert out["n_frames"] == 100 and out["sample_rate"] == 8000
+
+
+# -- JVM-side xxhash64 seen-set hashing (VERDICT r5 #1 / task #3) ------------
+#
+# The per-wave executor paths (bloom build, bloom/cuckoo probes, cuckoo
+# distributed build) now consume Spark `xxhash64` COLUMNS; the pure-
+# Python xxh64 twin serves only small driver-side adds. These pins prove
+# the two are bit-identical, so driver-added seeds and executor-added
+# waves land in the same bitset positions / cuckoo buckets.
+
+HASH_CASES = [
+    "",
+    "a",
+    "abc",
+    "http://h.example.com/page/1",
+    "x" * 31,
+    "y" * 32,
+    "z" * 100,
+    "http://ünïcode.example/päth?q=日本語",
+    "exactly-eight",
+    "http://h0.com/" + "long/" * 50,
+]
+
+
+def test_python_xxh64_matches_spark_xxhash64(spark):
+    from pyspark.sql import functions as F
+
+    from ironspark.seen import _H2_SEED, xxh64
+
+    df = spark.createDataFrame([(s,) for s in HASH_CASES], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64(F.lit("ironspark-h2"), F.col("s")).alias("h2"),
+    ).collect()
+    assert len(rows) == len(HASH_CASES)
+    for r in rows:
+        b = r["s"].encode("utf-8")
+        assert xxh64(b) == np.int64(r["h1"]).astype(np.uint64).astype(object)
+        assert xxh64(b, _H2_SEED) == np.int64(r["h2"]).astype(
+            np.uint64
+        ).astype(object)
+
+
+def test_hash_cols_match_hash128(spark):
+    from ironspark.seen import _hash128, hash_cols
+
+    df = spark.createDataFrame([(s,) for s in HASH_CASES], "s string")
+    h1, h2 = hash_cols("s")
+    rows = df.select("s", h1.alias("h1"), h2.alias("h2")).collect()
+    for r in rows:
+        a, b = _hash128(r["s"])
+        assert a == int(np.int64(r["h1"]).astype(np.uint64))
+        assert b == int(np.int64(r["h2"]).astype(np.uint64))
+
+
+def test_shard_col_matches_numpy_uint64_mod(spark):
+    from pyspark.sql import functions as F
+
+    from ironspark.seen import _shard_col, hash_cols
+
+    df = spark.createDataFrame(
+        [(f"http://h{i}.com/{i}",) for i in range(500)], "s string"
+    )
+    h1, _ = hash_cols("s")
+    for K in (3, 4, 7):
+        rows = (
+            df.select(h1.alias("h1"))
+            .withColumn("shard", _shard_col(F.col("h1"), K))
+            .collect()
+        )
+        for r in rows:
+            expect = int(np.int64(r["h1"]).astype(np.uint64) % np.uint64(K))
+            assert r["shard"] == expect, (r["h1"], K)
+
+
+def test_bloom_build_runs_partials_in_parallel_tasks(spark):
+    # ADVICE r5 (medium): the old coalesce chain collapsed hashing +
+    # every OR level into ONE task. The repartition fan-in must leave
+    # the partial stage as 8 separate tasks.
+    from ironspark.seen import _bloom_merged_partials, BloomFilter
+
+    urls = [(f"http://h{i % 5}.com/p/{i}",) for i in range(4000)]
+    df = spark.createDataFrame(urls, "url_canon string").repartition(8)
+    proto = BloomFilter(8192, 0.01)
+    plan = _bloom_merged_partials(
+        df, "url_canon", proto.m, proto.k
+    )._jdf.queryExecution().executedPlan().toString()
+    # a shuffle Exchange must separate the partial map stage from the
+    # OR-merge stage (coalesce would show none)
+    assert "Exchange" in plan
+
+
+def test_cuckoo_distributed_build_matches_driver_adds(spark):
+    from ironspark.seen import ShardedCuckoo
+
+    urls = [f"http://h{i % 9}.com/p/{i}" for i in range(3000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url_canon string").repartition(6)
+
+    dist = ShardedCuckoo(spark, 8192, shards=4)
+    dist.add_df(df, "url_canon")
+    drv = ShardedCuckoo(spark, 8192, shards=4)
+    drv.add_urls(urls)
+    # same hash family -> same occupancy (every url inserted exactly
+    # once in both builds; no saturation) and identical membership.
+    # Bucket-level layout may differ: an fp legally sits in i1 or i2
+    # depending on insertion order, so tables aren't compared bit-wise.
+    dt, vt = dist._slices[0][1], drv._slices[0][1]
+    assert np.count_nonzero(dt) == np.count_nonzero(vt) == len(urls)
+    assert not dist._slices[0][2].any() and not drv._slices[0][2].any()
+    for u in urls:
+        assert dist._contains_local(u) and drv._contains_local(u)
+    dist.unpersist_all()
+    drv.unpersist_all()
+
+
+def test_cuckoo_probe_and_resync_after_jvm_hash_swap(spark):
+    from pyspark.sql import functions as F
+
+    from ironspark.seen import ShardedCuckoo
+
+    urls = [f"http://h{i % 3}.com/p/{i}" for i in range(400)]
+    df = spark.createDataFrame([(u,) for u in urls], "url_canon string")
+    sc = ShardedCuckoo(spark, 4096, shards=2)
+    sc.add_df(df, "url_canon")
+    got = df.withColumn("m", sc.maybe_seen_udf()(F.col("url_canon"))).toPandas()
+    assert got["m"].all()  # no false negatives
+    # delete a handful, then resync against the surviving table
+    victims = urls[:20]
+    assert sorted(sc.delete_urls(victims)) == sorted(victims)
+    survivors = df.join(
+        spark.createDataFrame([(u,) for u in victims], "url_canon string"),
+        "url_canon",
+        "left_anti",
+    )
+    sc.resync_after_delete(survivors)
+    got2 = survivors.withColumn(
+        "m", sc.maybe_seen_udf()(F.col("url_canon"))
+    ).toPandas()
+    assert got2["m"].all()  # survivors still all "maybe seen"
+    sc.unpersist_all()
