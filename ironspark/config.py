@@ -104,6 +104,18 @@ class EngineConfig:
     # -- loop termination (src/config.rs:51) ----------------------------------
     max_waves: int = 1000
 
+    # -- continuous crawl: freshness recrawl (ours; north-rule cuckoo
+    # delete path exercised end-to-end) --------------------------------------
+    # When set, the engine does NOT shut down at frontier-empty:
+    # it ticks frontier.recrawl_due over the fetch history (order
+    # table), clears the due URLs' seen membership (exact table
+    # rewrite + cuckoo fingerprint delete + collision resync) and
+    # re-admits them stalest-first under recrawl_per_host_budget —
+    # the crawl→age→recrawl cycle, bounded by max_waves. None = off
+    # (single-pass crawl, the reference's behavior).
+    recrawl_interval_s: float | None = None
+    recrawl_per_host_budget: int = 5
+
     # -- per-spider lifecycle (L3 deactivation sweep, manager.rs:188-199) ------
     # True: track per-spider pending counts each wave and call close()
     # as soon as a spider has no in-flight work (two small extra jobs

@@ -27,6 +27,7 @@ import shutil
 import tempfile
 import threading
 import time
+from datetime import datetime, timezone
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable
@@ -37,10 +38,13 @@ from pyspark.sql import functions as F
 from ironspark.config import EngineConfig
 from ironspark.fetch import fetch_from_corpus, http_fetch_stage
 from ironspark.frontier import (
+    _finish_frontier,
     drain_seq_caches,
     enqueue_outlinks,
     prepare_candidates,
+    recrawl_due,
     seeds_to_frontier,
+    with_global_seq,
 )
 from ironspark.metrics import rollup_wave_metrics, wave_metrics_fine
 from ironspark.parse import parse_responses
@@ -379,6 +383,18 @@ class CrawlEngine:
         # instead of re-launching a full parquet-footprint scan + 400k
         # row collect every wave (~1s/wave of driver-serial floor).
         self._pages_urls: DataFrame | None = None
+        # wall clock for fetch_ts stamping + recrawl due checks;
+        # injectable via cfg.extra["clock"] so tests can age a crawl
+        self._clock: Callable[[], datetime] | None = (
+            self.cfg.extra.get("clock") if self.cfg.extra else None
+        )
+
+    def _now(self) -> datetime:
+        """Naive-UTC wall clock (session tz is UTC; NTZ-safe literal)."""
+        dt = self._clock() if self._clock is not None else datetime.now(timezone.utc)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
 
     def _prepared_pages(self) -> DataFrame:
         return self._pages_view
@@ -596,6 +612,82 @@ class CrawlEngine:
                 # (shard, fp, bucket)-collide with a surviving url
                 self._bloom.resync_after_delete(io.read("seen"))
         return removed
+
+    def _admit_recrawls(
+        self, io, run_dir: str, wave: int, next_seq: int, segments: list[str]
+    ) -> int:
+        """Frontier-empty freshness tick — the crawl→age→recrawl
+        composition of a CONTINUOUS crawl (the reference crawls once
+        and stops; the north rule's deletable cuckoo path exists for
+        exactly this cycle).
+
+        Reads the fetch history (order sink: one row per scheduled
+        fetch with host + fetch_ts), selects due URLs stalest-first
+        under cfg.recrawl_per_host_budget (frontier.recrawl_due — the
+        same per-host politeness shape as first-visit scheduling),
+        removes them from the exact seen table AND the prune structures
+        (invalidate_seen: atomic table rewrite + cuckoo fingerprint
+        delete + collision resync), then appends them to the live
+        frontier segment with fresh seq numbers in global stalest-first
+        order and re-records them as seen (they are enqueued again, so
+        later-discovered duplicates must still dedup). Returns the seq
+        numbers consumed (0 = nothing due → idle shutdown proceeds).
+
+        Scale shape: the due set is budget-bounded (hosts ×
+        recrawl_per_host_budget); selection, owner re-join, and seq
+        assignment all stay distributed — only the invalidation batch
+        is collected, because the cuckoo fingerprint delete is
+        driver-side by design (deletions rare; seen.py). The history
+        scan is one hash-agg per tick, and ticks only fire at
+        frontier-empty, never per wave.
+        """
+        cfg = self.cfg
+        history = io.read_all_waves("order")
+        if history is None:
+            return 0
+        hist = history.filter(F.col("fetch_ts").isNotNull())
+        due = recrawl_due(
+            hist.select(
+                F.col("url_canon").alias("url"),
+                "host",
+                F.col("fetch_ts").alias("ts"),
+            ),
+            self._now(),
+            cfg.recrawl_interval_s,
+            cfg.recrawl_per_host_budget,
+        )
+        # re-home each due url to the spider that fetched it last
+        # (deterministic tie-break on seq within the same wave stamp)
+        owner = hist.groupBy(F.col("url_canon").alias("url")).agg(
+            F.max_by(
+                "spider_id", F.struct("fetch_ts", "seq")
+            ).alias("spider_id")
+        )
+        f, n = with_global_seq(
+            due.join(owner, "url", "left").select(
+                F.col("url").alias("url_canon"),
+                F.col("url"),
+                "host",
+                "spider_id",
+                (-F.col("age_seconds")).alias("_neg_age"),
+            ),
+            ["_neg_age", "url"],
+            next_seq,
+        )
+        if n == 0:
+            return 0
+        inj = _finish_frontier(f.drop("_neg_age")).persist()
+        urls = [r["url_canon"] for r in inj.select("url_canon").collect()]
+        # clear membership FIRST (exact rewrite + cuckoo delete +
+        # resync), then re-record the re-admitted urls as seen
+        self.invalidate_seen(run_dir, urls)
+        io.write_rel(inj, segments[-1], mode="append")
+        if cfg.dedup:
+            io.write(inj.select("url_canon"), "seen", wave, mode="append")
+            if cfg.seen_backend in ("bloom", "cuckoo"):
+                self._bloom_add(inj)
+        inj.unpersist()
+        return n
 
     # -- run ------------------------------------------------------------------
 
@@ -848,6 +940,20 @@ class CrawlEngine:
             if pending_count == 0:
                 if staged_seeds:
                     continue  # same-wave re-tick: activate the next group
+                if cfg.recrawl_interval_s is not None:
+                    # continuous crawl: at the frontier-empty point,
+                    # tick the freshness scheduler — due URLs clear
+                    # their seen fingerprints and re-enter the frontier
+                    # stalest-first (bounded overall by max_waves)
+                    _await_seen()
+                    _await_frontier()
+                    n_re = self._admit_recrawls(
+                        io, run_dir, wave, next_seq, segments
+                    )
+                    if n_re:
+                        next_seq += n_re
+                        pending_count = None
+                        continue
                 break
 
             tr = _Tracer(wave)
@@ -917,9 +1023,17 @@ class CrawlEngine:
                 io_pool.submit(
                     io.write,
                     # wave is the PARTITION DIRECTORY (order/wave=N),
-                    # not a data column: the write plan stays
-                    # literal-free and codegen-cached across waves
-                    scheduled.select("seq", "url_canon"),
+                    # not a data column. host + spider_id + fetch_ts
+                    # make this sink the fetch HISTORY the continuous-
+                    # crawl freshness tick reads (recrawl_due); the
+                    # per-wave timestamp literal costs one plan
+                    # compile per wave (~ms), accepted for a
+                    # clock-injectable, deterministic history.
+                    scheduled.select(
+                        "seq", "url_canon", "host", "spider_id"
+                    ).withColumn(
+                        "fetch_ts", F.lit(self._now()).cast("timestamp")
+                    ),
                     "order",
                     wave,
                 )

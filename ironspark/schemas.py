@@ -166,10 +166,16 @@ STATUS_SCHEMA = StructType(
     ]
 )
 
-# wave comes from the partition directory (order/wave=N) on read
+# wave comes from the partition directory (order/wave=N) on read.
+# host + spider_id + fetch_ts make the order sink double as the FETCH
+# HISTORY a continuous crawl needs: frontier.recrawl_due reads
+# (url, host, ts) from here to pick stale URLs for re-admission.
 CRAWL_ORDER_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
         StructField("url_canon", StringType()),
+        StructField("host", StringType()),
+        StructField("spider_id", LongType()),
+        StructField("fetch_ts", TimestampType()),
     ]
 )
