@@ -774,6 +774,62 @@ def _mm_audio(spark, sf):
     )
 
 
+def _mm_jpeg(spark, sf):
+    """REAL baseline-JPEG codec round trip, distributed
+    (multimodal.encode_jpeg / decode_jpeg — pure stdlib+numpy ITU-T
+    T.81 SOF0, new in round 6): per doc, build a FLAT RGB image of
+    color (doc_id%256, doc_id*7%256, doc_id*13%256) with
+    doc-dependent odd dimensions (8+doc_id%9 rows, 8+doc_id%7 cols —
+    exercising MCU edge padding + crop) and quality 35+doc_id%60
+    (both libjpeg scale-factor branches), encode it 4:4:4, decode it
+    back, and emit the decoded color. A flat image's whole pipeline —
+    RGB->YCbCr, DC-only FDCT, quantize, dequantize, IDCT,
+    YCbCr->RGB, all under the codec's floor(x+0.5+1e-9) rounding —
+    collapses to a closed-form per-doc arithmetic chain the DuckDB
+    oracle recomputes with FLOOR, so a wrong Huffman table, zigzag,
+    DCT normalization, or quant scale hash-mismatches. n_colors
+    asserts the decoded image is uniform (a block-boundary bug would
+    break uniformity before it shifts the mean). One Arrow pass,
+    zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ironspark.multimodal import decode_jpeg, encode_jpeg
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "channels",
+                "n_colors", "px_r", "px_g", "px_b",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 8 + did % 9, 8 + did % 7
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = did % 256
+                px[..., 1] = (did * 7) % 256
+                px[..., 2] = (did * 13) % 256
+                img = decode_jpeg(encode_jpeg(px, quality=35 + did % 60))
+                flat = img["pixels"].reshape(-1, 3)
+                out["media_id"].append(did)
+                out["width"].append(np.int32(img["width"]))
+                out["height"].append(np.int32(img["height"]))
+                out["channels"].append(np.int32(img["channels"]))
+                out["n_colors"].append(
+                    np.int32(len(np.unique(flat, axis=0)))
+                )
+                out["px_r"].append(np.int32(flat[0, 0]))
+                out["px_g"].append(np.int32(flat[0, 1]))
+                out["px_b"].append(np.int32(flat[0, 2]))
+            yield pd.DataFrame(out)
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        run,
+        "media_id long, width int, height int, channels int, "
+        "n_colors int, px_r int, px_g int, px_b int",
+    )
+
+
 def _f9_robots_wildcard(spark, sf):
     """RFC 9309 wildcard enforcement (robots.compile_rule_regex +
     politeness.robots_disallow_filter, new in round 5), driver-attested
@@ -1042,11 +1098,11 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 72 (+ any new round-6
-    # entries) — so the FRONT of the dict is the round-6 attestation
-    # window: the 22 entries whose last driver row was r4 (they sat
-    # past r5's window edge; all 22 were gate-green in the r5 review),
-    # then new round-6 entries, then the 50 entries driver-attested in
+    # entries per round while this dict holds 73 — so the FRONT of the
+    # dict is the round-6 attestation window: the 22 entries whose last
+    # driver row was r4 (they sat past r5's window edge; all 22 were
+    # gate-green in the r5 review), then the new round-6 entries
+    # (mm_jpeg), then the 50 entries driver-attested in
     # CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
     # row within the last two rounds. Every entry stays shipped and
     # green under scripts/driver_gate.py; only attestation order
@@ -1075,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_wire_size": _d4_wire_size,
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
+        # -- new in round 6 -------------------------------------------
+        "mm_jpeg": _mm_jpeg,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -1777,6 +1835,52 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT string_agg(printf('%02x', (doc_id*(j+1))%256), '' ORDER BY j) "
             "FROM generate_series(0,11) t(j)) AS pixel_hex "
             "FROM documents"
+        ),
+        # mm_jpeg: the Spark side encodes REAL baseline JPEGs of flat
+        # colors and decodes them back; the oracle recomputes the
+        # closed-form arithmetic the flat round trip collapses to
+        # (RGB->YCbCr, quantize/dequantize DC, YCbCr->RGB, every step
+        # under the codec's FLOOR(x+0.5+1e-9) rounding convention).
+        "mm_jpeg": (
+            "WITH p AS (SELECT doc_id, "
+            "CAST(doc_id % 256 AS DOUBLE) AS rr, "
+            "CAST((doc_id * 7) % 256 AS DOUBLE) AS gg, "
+            "CAST((doc_id * 13) % 256 AS DOUBLE) AS bb, "
+            "35 + doc_id % 60 AS q FROM documents), "
+            "s AS (SELECT *, CASE WHEN q < 50 THEN 5000 // q "
+            "ELSE 200 - 2 * q END AS sfac FROM p), "
+            "t AS (SELECT *, "
+            "LEAST(255, GREATEST(1, (16 * sfac + 50) // 100)) AS qlum, "
+            "LEAST(255, GREATEST(1, (17 * sfac + 50) // 100)) AS qchr "
+            "FROM s), "
+            "y AS (SELECT *, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(0.299::DOUBLE * rr "
+            "+ 0.587::DOUBLE * gg + 0.114::DOUBLE * bb + 0.5 + 1e-9))) AS yy, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(-0.168736::DOUBLE * rr "
+            "- 0.331264::DOUBLE * gg + 0.5::DOUBLE * bb + 128.0 + 0.5 + 1e-9))) AS cb, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(0.5::DOUBLE * rr "
+            "- 0.418688::DOUBLE * gg - 0.081312::DOUBLE * bb + 128.0 + 0.5 + 1e-9))) AS cr "
+            "FROM t), "
+            "o AS (SELECT *, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR(8.0 * (yy - 128.0) / qlum "
+            "+ 0.5 + 1e-9) * qlum / 8.0 + 128.0 + 0.5 + 1e-9))) AS y2, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR(8.0 * (cb - 128.0) / qchr "
+            "+ 0.5 + 1e-9) * qchr / 8.0 + 128.0 + 0.5 + 1e-9))) AS cb2, "
+            "LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR(8.0 * (cr - 128.0) / qchr "
+            "+ 0.5 + 1e-9) * qchr / 8.0 + 128.0 + 0.5 + 1e-9))) AS cr2 "
+            "FROM y) "
+            "SELECT doc_id AS media_id, "
+            "CAST(8 + doc_id % 7 AS INT) AS width, "
+            "CAST(8 + doc_id % 9 AS INT) AS height, "
+            "CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_colors, "
+            "CAST(LEAST(255.0, GREATEST(0.0, FLOOR(y2 "
+            "+ 1.402::DOUBLE * (cr2 - 128.0) + 0.5 + 1e-9))) AS INT) AS px_r, "
+            "CAST(LEAST(255.0, GREATEST(0.0, FLOOR(y2 "
+            "- 0.344136::DOUBLE * (cb2 - 128.0) "
+            "- 0.714136::DOUBLE * (cr2 - 128.0) + 0.5 + 1e-9))) AS INT) AS px_g, "
+            "CAST(LEAST(255.0, GREATEST(0.0, FLOOR(y2 "
+            "+ 1.772::DOUBLE * (cb2 - 128.0) + 0.5 + 1e-9))) AS INT) AS px_b "
+            "FROM o"
         ),
         # mm_audio: the Spark side serializes REAL WAV bytes and decodes
         # them back; the oracle recomputes the synthetic waveform's exact

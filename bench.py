@@ -53,6 +53,8 @@ QUERY_NAMES = [
     "mm_decode", "f9_robots_wildcard", "fr_recrawl_due",
     "t_line_dedup", "t_rep_signals", "g_degree", "g_pagerank",
     "mm_audio",
+    # round 6 additions (grow "total" by their medians vs r5)
+    "mm_jpeg",
 ]
 
 

@@ -309,14 +309,19 @@ def image_dims(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Codec entry point: REAL for PNG (``decode_png``); other formats
-    need PIL/opencv, not present in this container — swap the fallback
-    for a real decoder in deployment."""
+    """Codec entry point: REAL for PNG (``decode_png``) and baseline
+    JPEG/SOF0 (``decode_jpeg``) — the two formats that dominate web
+    media. GIF/BMP pixel decode (header dims via ``image_dims`` still
+    work) needs PIL/opencv, not present in this container — swap the
+    fallback for a real decoder in deployment."""
     if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decoding is built in; JPEG/audio/video codecs are not "
-        "present in this container — plug a real decoder here in deployment"
+        "only PNG and baseline JPEG decoding are built in; GIF/BMP pixel "
+        "codecs are not present in this container — plug a real decoder "
+        "here in deployment"
     )
 
 
@@ -606,3 +611,612 @@ def audio_stats_stage(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential, SOF0) codec — real, pure
+# stdlib+numpy (new in round 6). Same discipline as the PNG/WAV codecs:
+# a from-scratch spec implementation (marker walk, canonical Huffman,
+# zigzag, FDCT/IDCT, byte stuffing, restart markers), not a vendored
+# library. JPEG is the dominant web image format, so decode_image being
+# real for it is what makes the curation pipeline's media path honest.
+#
+# Rounding convention: every real->int step uses floor(x + 0.5 + 1e-9)
+# ("round half up with a deterministic tie bias"): the epsilon absorbs
+# the ~1e-13 float noise of the matrix FDCT at exact-half quantization
+# boundaries, so the codec's arithmetic is reproducible bit-for-bit
+# across platforms AND expressible in closed form for SQL oracles
+# (FLOOR(x + 0.5 + 1e-9)). The codec defines its own rounding — round
+# trips are self-consistent; interop decode accepts any encoder.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order (T.81 Figure A.6): natural index of each scan pos
+_JZZ = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 example quantization tables (natural order)
+_JQ_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JQ_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_JH_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_JH_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_JH_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_JH_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+_JROUND_EPS = 0.5 + 1e-9
+
+
+def _jround(x):
+    """floor(x + 0.5 + eps): the codec's deterministic round-half-up."""
+    return np.floor(x + _JROUND_EPS)
+
+
+_JDCT: np.ndarray | None = None
+
+
+def _jdct_mat() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: FDCT = A B A^T, IDCT = A^T F A."""
+    global _JDCT
+    if _JDCT is None:
+        x = np.arange(8, dtype=np.float64)
+        u = x[:, None]
+        a = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+        a[0, :] *= 1 / np.sqrt(2)
+        _JDCT = a
+    return _JDCT
+
+
+def _jhuff_codes(bits, values) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol ->
+    (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _jmagnitude(v: int) -> tuple[int, int]:
+    """(category, mantissa bits) for a DC diff / AC value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(_jround(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        _jround(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _jpad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (bh, bw) (T.81 recommends
+    replicating the last column/row so padding adds no AC energy)."""
+    h, w = plane.shape
+    ph = (h + bh - 1) // bh * bh
+    pw = (w + bw - 1) // bw * bw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _jquality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the common libjpeg quality mapping."""
+    q = max(1, min(100, int(quality)))
+    sf = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((_JQ_LUM * sf + 50) // 100, 1, 255)
+    chr_ = np.clip((_JQ_CHR * sf + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+def _jseg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder (SOF0, Annex-K tables).
+
+    pixels: (h, w) grayscale or (h, w, 3) RGB uint8. subsample=True
+    emits 4:2:0 (2x2 chroma average with the codec's rounding),
+    otherwise 4:4:4. restart_interval > 0 emits DRI + RSTn markers
+    every that many MCUs. Output decodes with ``decode_jpeg`` (and any
+    baseline JPEG decoder).
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    qlum, qchr = _jquality_tables(quality)
+    a = _jdct_mat()
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # 2x2 chroma average (pad odd dims first), codec rounding
+            cbp = _jpad_to_blocks(cb, 2, 2)
+            crp = _jpad_to_blocks(cr, 2, 2)
+            cb = _jround(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                 + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            )
+            cr = _jround(
+                (crp[0::2, 0::2] + crp[0::2, 1::2]
+                 + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            )
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    h, w = px.shape[:2]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # per-component quantized block grids (natural order), zigzagged
+    comp_blocks = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        q = (qlum if ci == 0 else qchr).reshape(8, 8)  # natural order
+        bw, bh = mcus_x * sh, mcus_y * sv  # blocks across / down
+        p = _jpad_to_blocks(plane, bh * 8, bw * 8)[: bh * 8, : bw * 8]
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )  # (bh, bw, 8, 8)
+        coef = np.einsum("ux,ghxy,vy->ghuv", a, blocks, a)
+        qd = _jround(coef / q).astype(np.int64)
+        comp_blocks.append(qd.reshape(bh, bw, 64)[:, :, _JZZ])
+
+    dc_tabs = [_jhuff_codes(*(_JH_DC_LUM if i == 0 else _JH_DC_CHR))
+               for i in range(len(planes))]
+    ac_tabs = [_jhuff_codes(*(_JH_AC_LUM if i == 0 else _JH_AC_CHR))
+               for i in range(len(planes))]
+
+    bw_ = _JBitWriter()
+    pred = [0] * len(planes)
+    entropy = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw_.flush()
+                entropy += bw_.buf
+                bw_ = _JBitWriter()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, bits = _jmagnitude(diff)
+                        code, ln = dc_tabs[ci][s]
+                        bw_.put(code, ln)
+                        if s:
+                            bw_.put(bits, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tabs[ci][0xF0]  # ZRL
+                                bw_.put(code, ln)
+                                run -= 16
+                            s, bits = _jmagnitude(v)
+                            code, ln = ac_tabs[ci][(run << 4) | s]
+                            bw_.put(code, ln)
+                            bw_.put(bits, s)
+                            run = 0
+                        if run:
+                            code, ln = ac_tabs[ci][0x00]  # EOB
+                            bw_.put(code, ln)
+            mcu_count += 1
+    bw_.flush()
+    entropy += bw_.buf
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jseg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jseg(0xDB, bytes([0]) + bytes(int(x) for x in qlum[_JZZ]))
+    if not gray:
+        out += _jseg(0xDB, bytes([1]) + bytes(int(x) for x in qchr[_JZZ]))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _jseg(0xC0, sof)
+
+    def dht(tc, th, bits, values):
+        return _jseg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        )
+
+    out += dht(0, 0, *_JH_DC_LUM) + dht(1, 0, *_JH_AC_LUM)
+    if not gray:
+        out += dht(0, 1, *_JH_DC_CHR) + dht(1, 1, *_JH_AC_CHR)
+    if restart_interval:
+        out += _jseg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _jseg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JBitReader:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted mid-symbol")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jhuff_decoder(bits, values) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for canonical tables."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jdecode_sym(r: _JBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _jextend(v: int, s: int) -> int:
+    """Mantissa bits -> signed value (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG decoder (SOF0): marker walk, DQT/DHT/
+    DRI/SOS parse, canonical Huffman + DPCM entropy decode with byte
+    destuffing and restart markers, dequantize, batched IDCT, chroma
+    upsample, YCbCr->RGB. Supports 1- and 3-component frames with
+    sampling factors in {1, 2} (covers 4:4:4, 4:2:2, 4:2:0), 8-bit
+    precision. Returns {width, height, channels, pixels} like
+    ``decode_png``. Raises ValueError on malformed bytes,
+    NotImplementedError on progressive (SOF2) / arithmetic / 12-bit
+    variants.
+    """
+    b = payload or b""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        data = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        data[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_JZZ] = tbl  # stored zigzag -> natural
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _jhuff_decoder(bits, values)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = data[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = []
+            for ci in range(nc):
+                o = 6 + 3 * ci
+                comps.append(
+                    {
+                        "id": data[o],
+                        "h": data[o + 1] >> 4,
+                        "v": data[o + 1] & 0x0F,
+                        "tq": data[o + 2],
+                    }
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in _SOF_MARKERS:  # progressive / arithmetic / ...
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            sel = {}
+            for si in range(ns):
+                sel[data[1 + 2 * si]] = (
+                    data[2 + 2 * si] >> 4,
+                    data[2 + 2 * si] & 0x0F,
+                )
+            scan = (sel, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    sel, epos = scan
+    comps = frame["comps"]
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise NotImplementedError(
+                f"sampling {c['h']}x{c['v']} unsupported (1/2 only)"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        if c["id"] not in sel:
+            raise ValueError(f"component {c['id']} absent from scan")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG unsupported")
+
+    # split entropy data into restart segments, destuffed
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = epos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segs.append(bytes(cur))
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+
+    seg_idx = 0
+    r = _JBitReader(segs[0])
+    pred = [0] * len(comps)
+    n_mcus = mcus_y * mcus_x
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            r = _JBitReader(segs[seg_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(comps):
+            td, ta = sel[c["id"]]
+            dct = huff.get((0, td))
+            act = huff.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("missing Huffman table for scan")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _jdecode_sym(r, dct)
+                    diff = _jextend(r.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jdecode_sym(r, act)
+                        rr, ss = rs >> 4, rs & 0x0F
+                        if ss == 0:
+                            if rr == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _jextend(r.bits(ss), ss)
+                        k += 1
+                    grids[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
+
+    a = _jdct_mat()
+    planes = []
+    for ci, c in enumerate(comps):
+        gh, gw, _ = grids[ci].shape
+        nat = np.zeros((gh, gw, 64), dtype=np.int64)
+        nat[:, :, _JZZ] = grids[ci]
+        coef = nat.reshape(gh, gw, 8, 8) * qt[c["tq"]]
+        blocks = np.einsum("ux,ghuv,vy->ghxy", a, coef.astype(np.float64), a)
+        plane = (
+            blocks.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8) + 128.0
+        )
+        # upsample to full-resolution grid, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        px = np.clip(_jround(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return {"width": w, "height": h, "channels": 1, "pixels": px}
+    px = _ycbcr_to_rgb(
+        np.clip(_jround(planes[0]), 0, 255),
+        np.clip(_jround(planes[1]), 0, 255),
+        np.clip(_jround(planes[2]), 0, 255),
+    )
+    return {"width": w, "height": h, "channels": 3, "pixels": px}
