@@ -249,7 +249,11 @@ def main() -> None:
     for rep in range(args.repeats):
         for cores in args.settings:
             # steal-gated cell: retry while the run's own steal% is over
-            # the gate, keep the lowest-steal attempt (all disclosed)
+            # the gate; keep the MEDIAN-throughput attempt among
+            # gate-passing attempts (or among all attempts when none
+            # pass) — selecting min-steal would co-select favorable
+            # walls since steal and wall come from the same run
+            # (retry-until-favorable bias); all attempts disclosed
             attempts: list[dict] = []
             for att in range(1 + max(args.steal_retries, 0)):
                 warm_cache()
@@ -265,7 +269,12 @@ def main() -> None:
                 print(f"rep {rep} local[{cores}] attempt {att}: steal "
                       f"{runs[0]['host_steal_pct']}% > gate "
                       f"{args.steal_gate}%, retrying", flush=True)
-            r = min(attempts, key=lambda x: x["host_steal_pct"])
+            passing = [
+                a for a in attempts
+                if a["host_steal_pct"] <= args.steal_gate
+            ] or attempts
+            pool = sorted(passing, key=lambda x: x["urls_per_sec"])
+            r = pool[len(pool) // 2]
             r["rep"] = rep
             r["steal_gate_attempts"] = [
                 {"wall_s": a["wall_s"], "urls_per_sec": a["urls_per_sec"],
