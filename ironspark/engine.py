@@ -227,6 +227,148 @@ class TableIO:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, p)  # atomic: a crash never leaves a torn manifest
+        self._write_snapshot(manifest)
+
+    # -- Iceberg-shaped snapshot chain ---------------------------------
+    # Every commit also appends a snapshot under <root>/metadata/: a
+    # snap-<id>.json carrying the parent pointer + a manifest list, one
+    # manifest-<id>-<table>.json per state table enumerating the
+    # concrete parquet data files (path / size / format) visible at
+    # commit time, and a version-hint.text updated LAST as the commit
+    # point (the Iceberg hadoop-catalog protocol). This makes the
+    # "resumable from snapshots" claim testable without the runtime
+    # jar: any engine (DuckDB in tests) can read a checkpoint strictly
+    # from the files a snapshot manifest lists, and a lost
+    # manifest.json is reconstructible from the snapshot summary.
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _table_roots(self) -> dict[str, str]:
+        """name -> directory holding that state table's data files."""
+        out: dict[str, str] = {}
+        if os.path.isdir(self.root):
+            for d in sorted(os.listdir(self.root)):
+                p = os.path.join(self.root, d)
+                if os.path.isdir(p) and d != "metadata" and not d.startswith("_"):
+                    out[d] = p
+        return out
+
+    @staticmethod
+    def _data_files(table_root: str) -> list[dict]:
+        files = []
+        for dirpath, dirnames, filenames in os.walk(table_root):
+            # skip work dirs (_temporary, .staging) but keep partition
+            # dirs whose column name is underscore-prefixed (_wp=N)
+            dirnames[:] = [
+                d for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
+            ]
+            for f in sorted(filenames):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dirpath, f)
+                    files.append(
+                        {
+                            "file-path": fp,
+                            "file-size-in-bytes": os.path.getsize(fp),
+                            "file-format": "PARQUET",
+                        }
+                    )
+        return files
+
+    def _write_snapshot(self, manifest: dict) -> None:
+        meta = self._meta_dir()
+        os.makedirs(meta, exist_ok=True)
+        parent = self.current_snapshot_id()
+        sid = 0 if parent is None else parent + 1
+        manifest_list = []
+        for name, troot in self._table_roots().items():
+            mf = f"manifest-{sid}-{name}.json"
+            with open(os.path.join(meta, mf + ".tmp"), "w") as fh:
+                json.dump(
+                    {"table": name, "data-files": self._data_files(troot)},
+                    fh,
+                )
+            os.replace(
+                os.path.join(meta, mf + ".tmp"), os.path.join(meta, mf)
+            )
+            manifest_list.append(mf)
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": parent,
+            "sequence-number": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "operation": "append",
+            "manifest-list": manifest_list,
+            "summary": manifest,
+        }
+        with open(os.path.join(meta, f"snap-{sid}.json.tmp"), "w") as fh:
+            json.dump(snap, fh)
+        os.replace(
+            os.path.join(meta, f"snap-{sid}.json.tmp"),
+            os.path.join(meta, f"snap-{sid}.json"),
+        )
+        # version-hint LAST: readers never see a hinted-at snapshot
+        # whose manifests aren't fully on disk
+        hint = os.path.join(meta, "version-hint.text")
+        with open(hint + ".tmp", "w") as fh:
+            fh.write(str(sid))
+        os.replace(hint + ".tmp", hint)
+
+    def current_snapshot_id(self) -> int | None:
+        hint = os.path.join(self._meta_dir(), "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as fh:
+            return int(fh.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return None
+        p = os.path.join(self._meta_dir(), f"snap-{sid}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def snapshot_table_files(
+        self, name: str, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Data files of one state table as listed by a snapshot's
+        manifest — the strictly-metadata-driven read path."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        mf = f"manifest-{snap['snapshot-id']}-{name}.json"
+        if mf not in snap["manifest-list"]:
+            return []
+        with open(os.path.join(self._meta_dir(), mf)) as fh:
+            return [d["file-path"] for d in json.load(fh)["data-files"]]
+
+    def read_at_snapshot(
+        self, name: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        files = self.snapshot_table_files(name, snapshot_id)
+        if not files:
+            raise FileNotFoundError(
+                f"table {name!r} absent from snapshot {snapshot_id}"
+            )
+        return self._reader(name).parquet(*files)
+
+    def restore_manifest(self, snapshot_id: int | None = None) -> dict:
+        """Rewrite manifest.json from a snapshot's summary (recovery
+        after a lost/torn engine manifest) WITHOUT minting a new
+        snapshot; returns the restored manifest."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot {snapshot_id} in {self.root}")
+        man = snap["summary"]
+        p = os.path.join(self.root, "manifest.json")
+        with open(p + ".tmp", "w") as fh:
+            json.dump(man, fh)
+        os.replace(p + ".tmp", p)
+        return man
 
 
 class IcebergTableIO(TableIO):
@@ -333,6 +475,21 @@ class IcebergTableIO(TableIO):
         df.withColumn("_wp", F.lit(0)).writeTo(
             self._ident(name)
         ).using("iceberg").partitionedBy(F.col("_wp")).createOrReplace()
+
+    def _table_roots(self) -> dict[str, str]:
+        """Engine-level snapshots enumerate the hadoop-catalog
+        warehouse layout (<root>/_iceberg_warehouse/state/<table>);
+        the .parquet filter in _data_files skips Iceberg's own
+        avro/json metadata, so a snapshot manifest lists exactly the
+        data files — readable by any engine without the catalog."""
+        wh = os.path.join(self.root, "_iceberg_warehouse", "state")
+        out: dict[str, str] = {}
+        if os.path.isdir(wh):
+            for d in sorted(os.listdir(wh)):
+                p = os.path.join(wh, d)
+                if os.path.isdir(p):
+                    out[d] = p
+        return out
 
 
 class CrawlEngine:

@@ -230,3 +230,48 @@ def test_crawl_and_resume_on_fake_iceberg(fake_iceberg, tmp_path):
     order = eng2.crawl_order_df(run_dir)
     assert "wave" in order.columns  # _wp surfaced as wave
     assert order.count() == stats.scheduled + stats2.scheduled
+
+
+def test_snapshot_chain_on_fake_iceberg(fake_iceberg, tmp_path):
+    """The engine-level snapshot chain (round 6) also covers the
+    Iceberg backend: manifests enumerate the warehouse's parquet data
+    files, a checkpoint table is readable strictly from the manifest
+    file list by DuckDB (no catalog, no jar), and a lost engine
+    manifest restores from the snapshot summary."""
+    import duckdb
+
+    spark = fake_iceberg
+    pages = spark.createDataFrame(
+        build_graph_corpus_pdf(80, n_hosts=6), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(graph_seeds(80, 8, 6), SEEDS_SCHEMA)
+    cfg = EngineConfig(dedup=True, max_waves=3, respect_robots=False,
+                       wave_seconds=3600.0, checkpoint_every=1)
+    run_dir = str(tmp_path / "iceberg_snap")
+    eng = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg)
+    eng.run(seeds=seeds, run_dir=run_dir)
+
+    io = IcebergTableIO(spark, run_dir)
+    head = io.current_snapshot_id()
+    assert head is not None and head >= 1
+    snap = io.snapshot(head)
+    assert snap["parent-snapshot-id"] == head - 1
+    assert snap["summary"].get("done") is True
+
+    files = io.snapshot_table_files("seen", head)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert all("_iceberg_warehouse" in f for f in files)
+    direct = {r.url_canon for r in io.read_all_waves("seen").collect()}
+    duck = {
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT url_canon FROM read_parquet(?)", [files]
+        ).fetchall()
+    }
+    assert duck == direct and direct
+
+    # lost engine manifest -> restore from snapshot summary alone
+    os.remove(os.path.join(run_dir, "manifest.json"))
+    restored = io.restore_manifest()
+    assert restored == snap["summary"]
+    assert io.manifest() == restored
