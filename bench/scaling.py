@@ -69,7 +69,14 @@ MARKUP = {markup}
 HOSTS = max(N // 100, 20)
 PDIR = {pdir!r}
 
+EVLOG = {evlog!r}
+
 _conf = {{"spark.sql.optimizer.runtime.bloomFilter.enabled": "false"}}
+if EVLOG:
+    os.makedirs(EVLOG, exist_ok=True)
+    _conf["spark.eventLog.enabled"] = "true"
+    _conf["spark.eventLog.dir"] = EVLOG
+    _conf["spark.eventLog.compress"] = "false"
 if FETCH == "shuffle":
     # pure shuffled fetch join: without this AQE would convert the
     # small post-shuffle side back to a DRIVER-BUILT broadcast — the
@@ -150,10 +157,12 @@ def run_child(
     cores: int, pages: int, repeats: int, filler: int, pdir: str,
     pin: bool = True, markup: int = 0, fetch: str = "broadcast",
     seen_join: str = "auto", seed_div: int = 20, wave_s: float = 3600.0,
+    evlog: str = "",
 ) -> list[dict]:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, repeats=repeats,
                         filler=filler, pdir=pdir, markup=markup, fetch=fetch,
-                        seen_join=seen_join, seed_div=seed_div, wave_s=wave_s)
+                        seen_join=seen_join, seed_div=seed_div, wave_s=wave_s,
+                        evlog=evlog)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:
@@ -212,9 +221,10 @@ def main() -> None:
     ap.add_argument("--steal-gate", type=float, default=1.0,
                     help="rerun a (rep, setting) cell (up to "
                          "--steal-retries extra times) while its host "
-                         "steal%% exceeds this; keep the lowest-steal "
-                         "run. Stops hypervisor contention eras from "
-                         "poisoning efficiency cells")
+                         "steal%% exceeds this; keep the median-"
+                         "throughput gate-passing attempt. Stops "
+                         "hypervisor contention eras from poisoning "
+                         "efficiency cells")
     ap.add_argument("--steal-retries", type=int, default=2)
     ap.add_argument("--settings", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--fetch-strategy", default="broadcast",
@@ -226,6 +236,11 @@ def main() -> None:
                          "driver-serial broadcast build that caps "
                          "measured scaling on saturation benchmarks")
     ap.add_argument("--no-pin", dest="pin", action="store_false")
+    ap.add_argument("--no-cpu-decomp", dest="cpu_decomp",
+                    action="store_false",
+                    help="skip the one extra event-logged rep per "
+                         "setting used to compute the bandwidth-"
+                         "normalized efficiency cells")
     args = ap.parse_args()
 
     os.makedirs(CACHE, exist_ok=True)
@@ -352,14 +367,46 @@ def main() -> None:
             },
         })
 
+    # bandwidth-normalized cells (VERDICT r5 #6): one extra
+    # event-logged rep per setting (outside the timed blocks, same
+    # pinning, same job), Amdahl-decomposed; the IDENTICAL job list's
+    # task-CPU ratio measures the single-box DRAM inflation, and
+    # deflating the big run's parallel wall by it states "efficiency
+    # at constant per-core bandwidth" as a number instead of prose.
+    cpu_normalized = []
+    if args.cpu_decomp:
+        import shutil
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from cpu_decomp import decompose, normalized_pair
+
+        decs: dict[int, dict] = {}
+        for cores in args.settings:
+            ev = os.path.join(CACHE, f"evlog_{cores}")
+            shutil.rmtree(ev, ignore_errors=True)
+            warm_cache()
+            run_child(
+                cores, args.pages, 1, args.filler, pdir, pin=args.pin,
+                markup=args.markup, fetch=args.fetch_strategy,
+                seed_div=args.seed_div, wave_s=args.wave_seconds,
+                evlog=ev,
+            )
+            decs[cores] = decompose(ev)
+            print(f"decomp local[{cores}]: cpu {decs[cores]['task_cpu_s']}s, "
+                  f"serial gap {decs[cores]['serial_gap_s']}s", flush=True)
+        for a, b in zip(args.settings, args.settings[1:]):
+            cpu_normalized.append(normalized_pair(decs[a], decs[b], a, b))
+
     result = {
         "protocol": (
             f"same job, same input; settings {args.settings} INTERLEAVED "
             f"round-robin x {args.repeats} reps, one fresh taskset-pinned "
             f"child per (rep, setting), JIT-warmup crawl inside each child; "
             f"STEAL-GATED: a cell reruns (<= {args.steal_retries} retries) "
-            f"while its host steal% > {args.steal_gate}%, lowest-steal "
-            f"attempt kept, all attempts disclosed; figures are MEDIANS "
+            f"while its host steal% > {args.steal_gate}%, the median-"
+            f"throughput gate-passing attempt kept (NOT min-steal, which "
+            f"would co-select favorable walls), all attempts disclosed; "
+            f"figures are MEDIANS "
             f"over equal repeat counts; all repeats + per-rep host steal% "
             f"disclosed below"
         ),
@@ -368,6 +415,7 @@ def main() -> None:
         "seeds": max(args.pages // args.seed_div, 10),
         "wave_seconds": args.wave_seconds,
         "pairs": pairs,
+        "cpu_normalized": cpu_normalized,
         "medians": {
             str(c): {
                 "urls_per_sec": median_of(all_runs[c], "urls_per_sec"),
@@ -401,6 +449,30 @@ def main() -> None:
         f"{p['efficiency_steady_state_clean_host']:.3f} |"
         for p in pairs
     )
+    if cpu_normalized:
+        norm_rows = "\n".join(
+            f"| {c['pair']} | {c['task_cpu_s'][0]:,} → {c['task_cpu_s'][1]:,} "
+            f"({c['cpu_inflation']:.2f}×) | {c['serial_gap_s'][1]} | "
+            f"{c['efficiency_raw_from_spans']:.3f} | "
+            f"**{c['efficiency_at_constant_per_core_bandwidth']:.3f}** |"
+            for c in cpu_normalized
+        )
+        cpu_norm_md = f"""
+**Bandwidth-normalized cells** (one extra event-logged rep per
+setting, Amdahl-decomposed by `bench/cpu_decomp.py`): the identical
+job list's task-CPU ratio measures this box's DRAM inflation; holding
+per-core memory bandwidth constant (what a real cluster does —
+channels multiply with cores) deflates the larger run's job-covered
+wall by that ratio while keeping its measured serial gap, turning the
+"single-box memory wall" argument into a number computed inline:
+eff_norm = span_N / (serial_gap_4N + covered_4N/inflation) / ratio.
+
+| pair | task-CPU (s) | serial gap 4N (s) | eff raw (spans) | eff at constant per-core bandwidth |
+|---|---|---|---|---|
+{norm_rows}
+"""
+    else:
+        cpu_norm_md = ""
     md = f"""# BENCH — scaling-efficiency evidence (N vs 4N)
 
 Per `BASELINE.json` (`north_rule`), the target is throughput scaling
@@ -435,7 +507,9 @@ trickle waves that each pay a full-corpus probe scan), run to
 frontier-empty.
 Cells are STEAL-GATED: a (rep, setting) child reruns while its own
 host-steal% exceeds {args.steal_gate}% (≤ {args.steal_retries}
-retries), the lowest-steal attempt counts, all attempts disclosed.
+retries), the median-throughput gate-passing attempt counts (not the
+min-steal attempt — steal and wall come from the same run, so picking
+min-steal would co-select favorable walls), all attempts disclosed.
 
 | cores | median wall (s) | median urls/s (whole run) | median urls/s (largest wave) | repeats (urls/s) |
 |---|---|---|---|---|
@@ -457,6 +531,7 @@ docs/SCALE.md #20) whole-run
 {primary['efficiency_steady_state_paired_per_rep']} (median
 {primary['efficiency_steady_state_paired_median']}).**
 
+{cpu_norm_md}
 "Clean host" pairs the rep with the least hypervisor steal per setting
 (per-rep steal% is measured from /proc/stat and disclosed in
 BENCH_SCALING.json): this sandbox VM shows multi-minute host-contention
