@@ -774,6 +774,48 @@ def _mm_audio(spark, sf):
     )
 
 
+# fixed multilingual snippets driving t_langid_script: one per major
+# writing system + four Latin stopword languages + a no-signal row.
+# The Spark side synthesizes each doc's text as snippet[doc_id % 14]
+# and runs textops.language_id_v2; the oracle re-runs the WHOLE
+# detection (script char-class counts, kana rule, 30% argmax rule,
+# stopword vote, und fallback) over the same snippets in DuckDB's
+# regex dialect — a wrong range, threshold, or tie-break mismatches.
+_LANG_SNIPPETS = [
+    "the cat sat on the mat and it was warm for that time of year",
+    "der hund ist nicht mit der katze auf dem sofa und das ist gut",
+    "le chat est dans la maison et il ne veut pas sortir des que possible",
+    "el perro no es un gato y los dos viven con la familia para siempre",
+    "今天天气很好我们一起去公园散步吧这里的风景非常美丽",
+    "今日はとても良い天気ですので公園へ散歩に行きましょう",
+    "오늘은 날씨가 좋아서 공원에 산책하러 갑니다",
+    "сегодня хорошая погода и мы идем гулять в парк вместе",
+    "الطقس جميل اليوم ونحن ذاهبون إلى الحديقة معا",
+    "आज मौसम बहुत अच्छा है और हम पार्क में टहलने जा रहे हैं",
+    "σήμερα ο καιρός είναι καλός και πηγαίνουμε στο πάρκο μαζί",
+    "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะกัน",
+    "מזג האוויר יפה היום ואנחנו הולכים לפארק יחד",
+    "12345 67890 24680 13579 55555",
+]
+
+
+def _t_langid_script(spark, sf):
+    """Script-aware language ID (textops.language_id_v2, round 6) on
+    deterministic multilingual text: doc text = _LANG_SNIPPETS[doc_id
+    % 14], covering nine non-Latin writing systems, four Latin
+    stopword languages, and a no-signal row. Zero shuffle."""
+    from ironspark.textops import language_id_v2
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(s) for s in _LANG_SNIPPETS]),
+            (F.col("doc_id") % 14 + 1).cast("int"),
+        ).alias("text"),
+    )
+    return language_id_v2(docs)
+
+
 def _mm_jpeg(spark, sf):
     """REAL baseline-JPEG codec round trip, distributed
     (multimodal.encode_jpeg / decode_jpeg — pure stdlib+numpy ITU-T
@@ -827,6 +869,66 @@ def _mm_jpeg(spark, sf):
         run,
         "media_id long, width int, height int, channels int, "
         "n_colors int, px_r int, px_g int, px_b int",
+    )
+
+
+def _mm_gif_bmp(spark, sf):
+    """REAL GIF (LZW) + BMP codec round trips, distributed
+    (multimodal.encode_gif/decode_gif + encode_bmp/decode_bmp — pure
+    stdlib, new in round 6): per doc, build a 2x2 4-color paletted
+    image with palette[k][c] = doc_id*(3k+c+1) % 256 and indices
+    idx[r][cc] = (doc_id + 2r + cc) % 4, round-trip it through the GIF
+    LZW coder; and a 2x2 RGB image with bytes doc_id*(j+1) % 256
+    round-tripped through the BMP coder. Both formats are lossless, so
+    the oracle recomputes the exact pixel bytes arithmetically — a
+    wrong LZW width rule, palette layout, BGR swap, or row padding
+    hash-mismatches. One Arrow pass, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ironspark.multimodal import (
+        decode_bmp,
+        decode_gif,
+        encode_bmp,
+        encode_gif,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, ghex, bhex = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[(did * (k * 3 + c + 1)) % 256 for c in range(3)]
+                     for k in range(4)],
+                    dtype=np.uint8,
+                )
+                idx = np.array(
+                    [[(did + 2 * r + cc) % 4 for cc in range(2)]
+                     for r in range(2)],
+                    dtype=np.uint8,
+                )
+                g = decode_gif(encode_gif(idx, pal))
+                px = np.array(
+                    [(did * (j + 1)) % 256 for j in range(12)],
+                    dtype=np.uint8,
+                ).reshape(2, 2, 3)
+                b = decode_bmp(encode_bmp(px, top_down=bool(did % 2)))
+                ids.append(did)
+                ghex.append(g["pixels"].tobytes().hex())
+                bhex.append(b["pixels"].tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.int32(2), "height": np.int32(2),
+                    "gif_hex": ghex, "bmp_hex": bhex,
+                }
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        run,
+        "media_id long, width int, height int, gif_hex string, "
+        "bmp_hex string",
     )
 
 
@@ -1098,11 +1200,11 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 73 — so the FRONT of the
+    # entries per round while this dict holds 75 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
     # gate-green in the r5 review), then the new round-6 entries
-    # (mm_jpeg), then the 50 entries driver-attested in
+    # (mm_jpeg, t_langid_script, mm_gif_bmp), then the 50 entries driver-attested in
     # CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
     # row within the last two rounds. Every entry stays shipped and
     # green under scripts/driver_gate.py; only attestation order
@@ -1133,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": _t_quality,
         # -- new in round 6 -------------------------------------------
         "mm_jpeg": _mm_jpeg,
+        "t_langid_script": _t_langid_script,
+        "mm_gif_bmp": _mm_gif_bmp,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -1348,6 +1452,55 @@ def oracle_sql() -> dict[str, str]:
     lang_guess = "CASE WHEN " + lang_best + " = 0 THEN 'und' " + " ".join(
         f"WHEN n_{lg} = {lang_best} THEN '{lg}'" for lg in langs
     ) + " ELSE 'und' END"
+
+    # t_langid_script mirror: re-run language_id_v2's WHOLE detection
+    # in DuckDB over the same snippets — the \x{....} char-class
+    # spelling is shared by Java regex and RE2, and all ranges are BMP
+    # so both engines' LENGTH agree. CASE orders mirror the Spark
+    # when-chain tie-breaks (ascending language code).
+    from ironspark.textops import SCRIPT_RANGES
+
+    sn_values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_LANG_SNIPPETS)
+    )
+    script_counts = ", ".join(
+        f"LENGTH(txt) - LENGTH(regexp_replace(txt, '{rng}', '', 'g')) AS s_{lg}"
+        for lg, rng in sorted(SCRIPT_RANGES.items())
+    )
+    script_langs = [lg for lg in sorted(SCRIPT_RANGES) if lg != "ja"]
+    script_best = f"GREATEST({', '.join('s_' + lg for lg in script_langs)})"
+    script_case = " ".join(
+        f"WHEN s_{lg} = sbest THEN '{lg}'" for lg in script_langs
+    )
+    stop_counts_v2 = ", ".join(
+        "len(list_filter(string_split_regex(lower(txt), '\\s+'), "
+        f"x -> x IN ({stop_lists[lg]}))) AS v_{lg}"
+        for lg in langs
+    )
+    stop_best_v2 = f"GREATEST({', '.join('v_' + lg for lg in langs)})"
+    stop_case_v2 = " ".join(
+        f"WHEN v_{lg} = vbest THEN '{lg}'" for lg in langs
+    )
+    langid_script_sql = (
+        f"WITH sn(idx, txt) AS (VALUES {sn_values}), "
+        "d AS (SELECT doc_id, txt FROM documents "
+        "JOIN sn ON sn.idx = doc_id % 14), "
+        "m AS (SELECT doc_id, txt, "
+        "LENGTH(regexp_replace(txt, '\\s', '', 'g')) AS nos, "
+        f"{script_counts} FROM d), "
+        f"s AS (SELECT *, {script_best} AS sbest FROM m), "
+        f"v AS (SELECT *, {stop_counts_v2} FROM s), "
+        f"b AS (SELECT *, {stop_best_v2} AS vbest FROM v) "
+        "SELECT doc_id, "
+        "CASE WHEN s_ja > 0 AND s_ja * 100 >= nos THEN 'ja' "
+        "WHEN sbest > 0 AND sbest * 10 > nos * 3 THEN "
+        f"(CASE {script_case} END) "
+        f"WHEN vbest > 0 THEN (CASE {stop_case_v2} END) "
+        "ELSE 'und' END AS lang_guess, "
+        "CAST(sbest AS BIGINT) AS n_script_chars, "
+        "CAST(nos AS BIGINT) AS n_nonspace "
+        "FROM b"
+    )
 
     return {
         "m1_counter_sums": (
@@ -1834,6 +1987,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS INT) AS height, CAST(3 AS INT) AS channels, "
             "(SELECT string_agg(printf('%02x', (doc_id*(j+1))%256), '' ORDER BY j) "
             "FROM generate_series(0,11) t(j)) AS pixel_hex "
+            "FROM documents"
+        ),
+        # t_langid_script: full cross-engine re-run of the script-aware
+        # detection over the fixed multilingual snippet table.
+        "t_langid_script": langid_script_sql,
+        # mm_gif_bmp: lossless GIF-LZW + BMP round trips; the oracle
+        # recomputes pixel bytes arithmetically (gif byte at position
+        # j: row r=j//6, col cc=(j%6)//3, channel c=j%3, palette slot
+        # k=(doc_id+2r+cc)%4, value doc_id*(3k+c+1)%256).
+        "mm_gif_bmp": (
+            "SELECT doc_id AS media_id, CAST(2 AS INT) AS width, "
+            "CAST(2 AS INT) AS height, "
+            "(SELECT string_agg(printf('%02x', "
+            "(doc_id * (((doc_id + 2*(j//6) + ((j%6)//3)) % 4) * 3 "
+            "+ j%3 + 1)) % 256), '' ORDER BY j) "
+            "FROM generate_series(0,11) t(j)) AS gif_hex, "
+            "(SELECT string_agg(printf('%02x', (doc_id*(j+1)) % 256), "
+            "'' ORDER BY j) FROM generate_series(0,11) t(j)) AS bmp_hex "
             "FROM documents"
         ),
         # mm_jpeg: the Spark side encodes REAL baseline JPEGs of flat

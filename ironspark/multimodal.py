@@ -309,19 +309,24 @@ def image_dims(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Codec entry point: REAL for PNG (``decode_png``) and baseline
-    JPEG/SOF0 (``decode_jpeg``) — the two formats that dominate web
-    media. GIF/BMP pixel decode (header dims via ``image_dims`` still
-    work) needs PIL/opencv, not present in this container — swap the
-    fallback for a real decoder in deployment."""
+    """Codec entry point: REAL pure-stdlib decoders for all four
+    header formats — PNG (``decode_png``), baseline JPEG/SOF0
+    (``decode_jpeg``), first-frame GIF87a/89a (``decode_gif``), and
+    uncompressed 8/24-bit BMP (``decode_bmp``). Unknown containers
+    (webp/avif/video) raise NotImplementedError — swap in a library
+    decoder in deployment."""
     if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload and payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decoding are built in; GIF/BMP pixel "
-        "codecs are not present in this container — plug a real decoder "
-        "here in deployment"
+        "PNG/JPEG/GIF/BMP decode are built in; other containers "
+        "(webp/avif/video) need a library decoder — plug one in here "
+        "in deployment"
     )
 
 
@@ -1220,3 +1225,310 @@ def decode_jpeg(payload: bytes) -> dict:
         np.clip(_jround(planes[2]), 0, 255),
     )
     return {"width": w, "height": h, "channels": 3, "pixels": px}
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a) codec — real, pure stdlib (new in round 6). LZW with
+# variable code width per the GIF89a spec Appendix F: codes packed
+# LSB-first, clear = 2^min_code_size, end = clear+1, dictionary capped
+# at 4095 with deferred-clear tolerance. Decodes the FIRST image
+# descriptor (animation frames beyond it are out of curation scope),
+# honoring local color tables and 4-pass interlace. The encoder emits a
+# single-frame GIF89a with a power-of-two global palette.
+# ---------------------------------------------------------------------------
+
+
+def _gif_color_table(b: bytes, pos: int, packed: int) -> tuple[np.ndarray, int]:
+    n = 2 << (packed & 0x07)
+    tbl = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+    if tbl.size != 3 * n:
+        raise ValueError("truncated GIF color table")
+    return tbl.reshape(n, 3), pos + 3 * n
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF sub-blocks")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += b[pos : pos + n]
+        if len(out) and pos + n > len(b):
+            raise ValueError("truncated GIF sub-blocks")
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: LSB-first bit packing, variable width 3..12."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code + 1
+    dict_codes: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF entropy data exhausted")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_codes = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dict_codes):
+                raise ValueError("bad first LZW code")
+            entry = dict_codes[code]
+        elif code < len(dict_codes):
+            entry = dict_codes[code]
+            if len(dict_codes) < 4096:
+                dict_codes.append(prev + entry[:1])
+        elif code == len(dict_codes):
+            entry = prev + prev[:1]
+            if len(dict_codes) < 4096:
+                dict_codes.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(dict_codes) == (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError("GIF image data short of pixel count")
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First-frame GIF decode (spec: GIF89a, CompuServe 1990): logical
+    screen descriptor + global/local color tables, extension-block
+    skip (graphic control parsed for the transparency index, which is
+    surfaced as the palette color — no alpha channel in curation
+    stats), LZW decompression, 4-pass interlace reorder. Returns
+    {width, height, channels=3, pixels} like ``decode_png``."""
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF")
+    packed = b[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        gct, pos = _gif_color_table(b, pos, packed)
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image descriptor")
+        if blk == 0x21:  # extension: label + sub-blocks (all skippable)
+            pos += 2
+            _, pos = _gif_subblocks(b, pos)
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            table, pos = _gif_color_table(b, pos, ipacked)
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(b):
+            raise ValueError("truncated GIF (no LZW min code size)")
+        min_code = b[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        pos += 1
+        data, pos = _gif_subblocks(b, pos)
+        idx = _lzw_decode(data, min_code, w * h)
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("GIF pixel index outside color table")
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty(h, dtype=np.int64)
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            rows[order] = np.arange(h)
+            idx = idx.reshape(h, w)[rows].reshape(-1)
+        px = table[idx.reshape(h, w)]
+        return {"width": w, "height": h, "channels": 3, "pixels": px}
+    raise ValueError("truncated GIF (no trailer)")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """Single-frame GIF89a encoder: (h, w) uint8 palette indices + an
+    (n, 3) palette (n padded to a power of two >= 4). Real LZW with
+    variable code width and 4096-entry dictionary resets."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = 4
+    while n < len(pal):
+        n <<= 1
+    if n > 256:
+        raise ValueError("palette too large")
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    size_field = n.bit_length() - 2  # 2<<size_field == n
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_field & 0x07), 0, 0])
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+
+    if interlace:
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        seq = idx[order].reshape(-1)
+    else:
+        seq = idx.reshape(-1)
+
+    min_code = max(2, size_field + 1)  # color table holds 2^(sf+1) entries
+    clear = 1 << min_code
+    end = clear + 1
+    out += bytes([min_code])
+    # LZW compress, codes LSB-first
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    width_ = min_code + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear)
+    prev = b""
+    for v in seq.tobytes():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << width_) and width_ < 12:
+                width_ += 1
+            next_code += 1
+        else:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width_ = min_code + 1
+        prev = bytes([v])
+    if prev:
+        put(table[prev])
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER) codec — real, pure stdlib (new in round 6):
+# uncompressed 24-bit BGR and 8-bit paletted, bottom-up and top-down,
+# 4-byte row padding per the public Windows DIB format.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> dict:
+    b = payload or b""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant unsupported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} unsupported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    row_bytes = (w * (bpp // 8) + 3) // 4 * 4
+    need = row_bytes * h
+    raw = b[data_off : data_off + need]
+    if len(raw) != need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()  # BGR->RGB
+    else:
+        n_colors = int.from_bytes(b[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            b[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        )
+        if pal.size != 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP pixel index outside palette")
+        px = pal[idx].copy()
+    return {"width": w, "height": h, "channels": 3, "pixels": px}
+
+
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) from (h, w, 3) RGB."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    hdr = b"BM" + struct.pack(
+        "<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    return hdr + info + data

@@ -242,6 +242,93 @@ def language_id(documents: DataFrame) -> DataFrame:
     return scored.select("doc_id", guess.alias("lang_guess"))
 
 
+#: BMP codepoint ranges per writing system, spelled \x{....} — the one
+#: char-class syntax Java regex (Spark) and RE2 (DuckDB) share, and BMP
+#: only so UTF-16 code-unit lengths equal codepoint lengths in both
+#: engines. Kana is listed separately: its presence distinguishes
+#: Japanese from Chinese, which share the Han range.
+SCRIPT_RANGES = {
+    "ar": r"[\x{0600}-\x{06ff}]",  # Arabic
+    "el": r"[\x{0370}-\x{03ff}]",  # Greek
+    "he": r"[\x{0590}-\x{05ff}]",  # Hebrew
+    "hi": r"[\x{0900}-\x{097f}]",  # Devanagari
+    "ja": r"[\x{3040}-\x{30ff}]",  # Hiragana + Katakana
+    "ko": r"[\x{ac00}-\x{d7af}]",  # Hangul syllables
+    "ru": r"[\x{0400}-\x{04ff}]",  # Cyrillic
+    "th": r"[\x{0e00}-\x{0e7f}]",  # Thai
+    "zh": r"[\x{4e00}-\x{9fff}]",  # CJK unified (Han)
+}
+
+
+def language_id_v2(documents: DataFrame) -> DataFrame:
+    """Script-aware language ID: Unicode-range detection for the nine
+    major non-Latin writing systems, stopword voting for Latin-script
+    text (round 6; upgrades the ~Latin-only ``language_id``).
+
+    Decision, all integer arithmetic (engine-portable, no float ties):
+      1. kana >= 1% of non-space chars -> "ja" (kana is unmistakable
+         and disambiguates Japanese from Chinese despite shared Han);
+      2. else the argmax script count if > 30% of non-space chars
+         (ties broken by language-code order);
+      3. else the ``language_id`` stopword vote over en/de/fr/es;
+      4. else "und".
+
+    Honesty note: this is script ID + stopword voting — it separates
+    writing systems exactly and Latin languages roughly; it is still
+    not fastText-class (no Latin-script sr/hr/cs discrimination, no
+    short-text robustness). It fixes the v1 failure mode that matters
+    most at corpus scale: non-Latin text (most of the web's non-English
+    half) previously fell through to 'und' or a spurious Latin vote.
+    Zero-shuffle single projection; every count is one JVM regex pass.
+    """
+    text = F.col("text")
+    nos = F.length(F.regexp_replace(text, r"\s", ""))
+    counts = {
+        lang: F.length(text) - F.length(F.regexp_replace(text, rng, ""))
+        for lang, rng in SCRIPT_RANGES.items()
+    }
+    script_langs = [lang for lang in sorted(SCRIPT_RANGES) if lang != "ja"]
+    best_script = F.greatest(*[counts[lang] for lang in script_langs])
+    script_guess = F.lit("und")
+    for lang in sorted(script_langs, reverse=True):
+        script_guess = F.when(
+            counts[lang] == best_script, F.lit(lang)
+        ).otherwise(script_guess)
+
+    words = F.split(F.lower(text), _WS)
+
+    def _stop_pred(lang):
+        # closure factory: a 2-arg lambda would make F.filter pass the
+        # element INDEX as the second argument
+        vals = STOPWORDS[lang]
+        return lambda x: x.isin(vals)
+
+    stop_counts = {
+        lang: F.size(F.filter(words, _stop_pred(lang)))
+        for lang in sorted(STOPWORDS)
+    }
+    best_stop = F.greatest(*[stop_counts[lang] for lang in sorted(STOPWORDS)])
+    stop_guess = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        stop_guess = F.when(
+            (best_stop > 0) & (stop_counts[lang] == best_stop), F.lit(lang)
+        ).otherwise(stop_guess)
+
+    guess = (
+        F.when(
+            (counts["ja"] > 0) & (counts["ja"] * 100 >= nos), F.lit("ja")
+        )
+        .when((best_script > 0) & (best_script * 10 > nos * 3), script_guess)
+        .otherwise(stop_guess)
+    )
+    return documents.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        best_script.cast("long").alias("n_script_chars"),
+        nos.cast("long").alias("n_nonspace"),
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (regex pieces).
 

@@ -214,7 +214,7 @@ def test_decode_image_stage_mixed_png_jpeg(spark):
                 "payload": [
                     bytearray(make_png(PIX_2X2, ctype=2)),
                     bytearray(jpeg),
-                    bytearray(b"GIF89a..."),
+                    bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "),
                 ],
             }
         )

@@ -113,11 +113,15 @@ def test_decode_palette_expands_to_rgb():
 
 def test_decode_rejects_unsupported_and_garbage():
     # a JPEG SOI with a malformed marker stream routes to decode_jpeg
-    # (real since round 6) and dies as malformed, not unsupported
+    # (real since round 6) and dies as malformed, not unsupported;
+    # same for a truncated GIF; containers with no built-in codec
+    # (webp) stay honest NotImplementedError
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a no pixel data")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a no pixel codec")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
     # 16-bit depth: honest NotImplementedError, not a wrong answer
