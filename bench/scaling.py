@@ -58,6 +58,8 @@ FETCH = {fetch!r}
 SEEN_JOIN = {seen_join!r}
 SEED_DIV = {seed_div}
 WAVE_S = {wave_s}
+SEEN_BMAX = {seen_bmax}
+SEEN_FLIP = {seen_flip}
 
 def _cpu_times():
     with open("/proc/stat") as fh:
@@ -103,7 +105,9 @@ cfg = EngineConfig(dedup=True, seen_backend="bloom",
                    max_waves=12, respect_robots=False,
                    wave_seconds=WAVE_S, default_crawl_delay=0.5,
                    checkpoint_every=100, fetch_strategy=FETCH,
-                   seen_join=SEEN_JOIN)
+                   seen_join=SEEN_JOIN,
+                   seen_broadcast_max_rows=SEEN_BMAX,
+                   seen_flip_ratio=SEEN_FLIP)
 
 # warmup: compile the wave plan shapes (excluded from timing)
 wu_seeds = spark.createDataFrame(
@@ -145,6 +149,8 @@ for rep in range(REPEATS):
         "wave_walls": [round(w, 2) for w in stats.wave_walls],
         "wave_scheduled": stats.wave_scheduled,
         "wave_frontier_rows": stats.wave_frontier_rows,
+        "wave_outlinks": stats.wave_outlinks,
+        "wave_seen_join": stats.wave_seen_join,
         "big_wave": big,
         "big_wave_urls_per_sec": round(big_urls / stats.wave_walls[big], 1),
         "host_steal_pct": steal_pct,
@@ -157,12 +163,12 @@ def run_child(
     cores: int, pages: int, repeats: int, filler: int, pdir: str,
     pin: bool = True, markup: int = 0, fetch: str = "broadcast",
     seen_join: str = "auto", seed_div: int = 20, wave_s: float = 3600.0,
-    evlog: str = "",
+    evlog: str = "", seen_bmax: int = 4_000_000, seen_flip: float = 2.0,
 ) -> list[dict]:
     code = CHILD.format(root=ROOT, cores=cores, pages=pages, repeats=repeats,
                         filler=filler, pdir=pdir, markup=markup, fetch=fetch,
                         seen_join=seen_join, seed_div=seed_div, wave_s=wave_s,
-                        evlog=evlog)
+                        evlog=evlog, seen_bmax=seen_bmax, seen_flip=seen_flip)
     env = dict(os.environ, IRONSPARK_DRIVER_MEM="48g")
     argv = [sys.executable, "-c", code]
     if pin:

@@ -101,6 +101,7 @@ class CrawlStats:
     wave_new: list = field(default_factory=list)
     wave_outlinks: list = field(default_factory=list)
     wave_frontier_rows: list = field(default_factory=list)  # delta rows written
+    wave_seen_join: list = field(default_factory=list)  # resolved regime per wave
 
     @property
     def urls_per_sec(self) -> float:
@@ -635,6 +636,10 @@ class CrawlEngine:
                 mode = "flip"
             else:
                 mode = "broadcast"
+        # recorded per wave into CrawlStats (the main wave dedup is the
+        # last resolution before the wave's stats append) — the regime
+        # transition log the scaling artifact discloses
+        self._last_seen_join = mode
         return mode
 
     def _filter_new(
@@ -1504,6 +1509,9 @@ class CrawlEngine:
             # lineage evidence that frontier writes are O(wave), not
             # O(backlog): rows written to the wave's delta segment
             stats.wave_frontier_rows.append(n_retried + n_new)
+            stats.wave_seen_join.append(
+                getattr(self, "_last_seen_join", None)
+            )
 
             # drain overlapped sink writes BEFORE any commit (a manifest
             # must never point past unwritten data) and before the

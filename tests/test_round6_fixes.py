@@ -204,3 +204,41 @@ def test_cuckoo_probe_and_resync_after_jvm_hash_swap(spark):
     ).toPandas()
     assert got2["m"].all()  # survivors still all "maybe seen"
     sc.unpersist_all()
+
+
+# -- per-wave seen-join regime log (VERDICT r5 #5) ---------------------------
+
+
+def test_wave_seen_join_regime_recorded(spark, tmp_path):
+    """CrawlStats.wave_seen_join records the resolved regime per wave;
+    forcing seen_broadcast_max_rows to 0 drives every wave to
+    shuffle_hash, the default leaves small crawls on broadcast."""
+    from ironspark.config import EngineConfig
+    from ironspark.corpus import build_graph_corpus_pdf, graph_seeds
+    from ironspark.engine import CrawlEngine
+    from ironspark.schemas import PAGES_SCHEMA, SEEDS_SCHEMA
+    from ironspark.spider import LinkSpider
+
+    pages = spark.createDataFrame(
+        build_graph_corpus_pdf(60, n_hosts=4), PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(graph_seeds(60, 6, 4), SEEDS_SCHEMA)
+
+    cfg = EngineConfig(dedup=True, max_waves=4, respect_robots=False,
+                       wave_seconds=3600.0)
+    stats = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg).run(
+        seeds=seeds, run_dir=str(tmp_path / "a"))
+    assert len(stats.wave_seen_join) == stats.waves
+    assert all(m == "broadcast" for m in stats.wave_seen_join)
+
+    cfg2 = EngineConfig(dedup=True, max_waves=4, respect_robots=False,
+                        wave_seconds=3600.0, seen_backend="bloom",
+                        bloom_capacity=1 << 12,
+                        seen_broadcast_max_rows=0)
+    stats2 = CrawlEngine(spark, pages, {1: LinkSpider()}, cfg2).run(
+        seeds=seeds, run_dir=str(tmp_path / "b"))
+    assert len(stats2.wave_seen_join) == stats2.waves
+    assert all(m == "shuffle_hash" for m in stats2.wave_seen_join)
+    # regime choice never changes results
+    assert stats2.scheduled == stats.scheduled
+    assert stats2.items == stats.items
