@@ -932,6 +932,61 @@ def _mm_gif_bmp(spark, sf):
     )
 
 
+def _mm_gif_frames(spark, sf):
+    """REAL animated-GIF demux + frame compositing, distributed
+    (multimodal.encode_gif_animation / gif_frame_sample_stage, new in
+    round 6): per doc, a 4-frame 2x2 GIF89a animation — palette
+    pal[k][c] = doc_id*(3k+c+1) % 256, frame f indices idx_f[r][cc] =
+    (doc_id+f+2r+cc) % 4, delay (doc_id+f) % 100 cs; frame 0 opaque,
+    frames 1-3 carry transparent index 3 with disposal=leave, so every
+    composited pixel is the LAST non-3 index at that position — a
+    recurrence the oracle unrolls exactly in SQL. The stage samples
+    every 2nd composited frame (frame_idx 0 and 2). A wrong GCE parse,
+    transparency mask, compositing order, or LZW bit width
+    hash-mismatches. Two Arrow passes, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ironspark.multimodal import (
+        encode_gif_animation,
+        gif_frame_sample_stage,
+    )
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.array(
+                    [[(did * (k * 3 + c + 1)) % 256 for c in range(3)]
+                     for k in range(4)],
+                    dtype=np.uint8,
+                )
+                frames = [
+                    np.array(
+                        [[(did + f + 2 * r + cc) % 4 for cc in range(2)]
+                         for r in range(2)],
+                        dtype=np.uint8,
+                    )
+                    for f in range(4)
+                ]
+                payloads.append(encode_gif_animation(
+                    frames, pal,
+                    delays_cs=[(did + f) % 100 for f in range(4)],
+                    transparents=[None, 3, 3, 3],
+                    disposals=[1, 1, 1, 1],
+                ))
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return gif_frame_sample_stage(media, every_n=2).select(
+        "media_id", "frame_idx", "delay_cs", "width", "height", "px_hex"
+    )
+
+
 def _f9_robots_wildcard(spark, sf):
     """RFC 9309 wildcard enforcement (robots.compile_rule_regex +
     politeness.robots_disallow_filter, new in round 5), driver-attested
@@ -1200,12 +1255,12 @@ def _a_ivf_index(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 75 — so the FRONT of the
+    # entries per round while this dict holds 76 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
     # gate-green in the r5 review), then the new round-6 entries
-    # (mm_jpeg, t_langid_script, mm_gif_bmp), then the 50 entries driver-attested in
-    # CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
+    # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames), then the
+    # 50 entries driver-attested in CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
     # row within the last two rounds. Every entry stays shipped and
     # green under scripts/driver_gate.py; only attestation order
     # changes.
@@ -1237,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg": _mm_jpeg,
         "t_langid_script": _t_langid_script,
         "mm_gif_bmp": _mm_gif_bmp,
+        "mm_gif_frames": _mm_gif_frames,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -2006,6 +2062,33 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT string_agg(printf('%02x', (doc_id*(j+1)) % 256), "
             "'' ORDER BY j) FROM generate_series(0,11) t(j)) AS bmp_hex "
             "FROM documents"
+        ),
+        # mm_gif_frames: animated-GIF compositing; the oracle unrolls
+        # the transparency recurrence exactly — per pixel j (r=j//6,
+        # cc=(j%6)//3, c=j%3) frame-f raw index i_f=(doc_id+f+2r+cc)%4,
+        # composited slot k_0=i_0, k_f = i_f unless i_f==3 (the
+        # transparent index) in which case k_{f-1} — then hexes the
+        # palette bytes for the sampled frames 0 and 2.
+        "mm_gif_frames": (
+            "WITH fr AS (SELECT unnest([0, 2]) AS fi), "
+            "px AS (SELECT d.doc_id, fr.fi, t.j, "
+            "(t.j // 6) AS r, ((t.j % 6) // 3) AS cc, (t.j % 3) AS c "
+            "FROM documents d, fr, generate_series(0, 11) t(j)), "
+            "i AS (SELECT *, "
+            "(doc_id + 0 + 2*r + cc) % 4 AS i0, "
+            "(doc_id + 1 + 2*r + cc) % 4 AS i1, "
+            "(doc_id + 2 + 2*r + cc) % 4 AS i2 FROM px), "
+            "k1 AS (SELECT *, "
+            "CASE WHEN i1 = 3 THEN i0 ELSE i1 END AS c1 FROM i), "
+            "k2 AS (SELECT *, "
+            "CASE WHEN i2 = 3 THEN c1 ELSE i2 END AS c2 FROM k1) "
+            "SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, "
+            "CAST((doc_id + fi) % 100 AS INT) AS delay_cs, "
+            "CAST(2 AS INT) AS width, CAST(2 AS INT) AS height, "
+            "string_agg(printf('%02x', (doc_id * (3 * "
+            "(CASE WHEN fi = 0 THEN i0 ELSE c2 END) + c + 1)) % 256), "
+            "'' ORDER BY j) AS px_hex "
+            "FROM k2 GROUP BY doc_id, fi"
         ),
         # mm_jpeg: the Spark side encodes REAL baseline JPEGs of flat
         # colors and decodes them back; the oracle recomputes the

@@ -54,7 +54,7 @@ QUERY_NAMES = [
     "t_line_dedup", "t_rep_signals", "g_degree", "g_pagerank",
     "mm_audio",
     # round 6 additions (grow "total" by their medians vs r5)
-    "mm_jpeg", "t_langid_script", "mm_gif_bmp",
+    "mm_jpeg", "t_langid_script", "mm_gif_bmp", "mm_gif_frames",
 ]
 
 

@@ -1232,7 +1232,7 @@ def decode_jpeg(payload: bytes) -> dict:
 # variable code width per the GIF89a spec Appendix F: codes packed
 # LSB-first, clear = 2^min_code_size, end = clear+1, dictionary capped
 # at 4095 with deferred-clear tolerance. Decodes the FIRST image
-# descriptor (animation frames beyond it are out of curation scope),
+# descriptor (decode_gif_frames below walks full animations),
 # honoring local color tables and 4-pass interlace. The encoder emits a
 # single-frame GIF89a with a power-of-two global palette.
 # ---------------------------------------------------------------------------
@@ -1410,10 +1410,21 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
         seq = idx.reshape(-1)
 
     min_code = max(2, size_field + 1)  # color table holds 2^(sf+1) entries
+    out += bytes([min_code])
+    bits = _lzw_encode(seq.tobytes(), min_code)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_encode(seq: bytes, min_code: int) -> bytearray:
+    """GIF-flavor LZW compress: variable code width from min_code+1 up
+    to 12 bits, LSB-first bit packing, clear-code dictionary resets at
+    4096 entries. Returns the raw entropy bytes (no sub-block framing)."""
     clear = 1 << min_code
     end = clear + 1
-    out += bytes([min_code])
-    # LZW compress, codes LSB-first
     bits = bytearray()
     acc = 0
     nbits = 0
@@ -1432,7 +1443,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
     next_code = end + 1
     put(clear)
     prev = b""
-    for v in seq.tobytes():
+    for v in seq:
         cur = prev + bytes([v])
         if cur in table:
             prev = cur
@@ -1454,11 +1465,266 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
     put(end)
     if nbits:
         bits.append(acc & 0xFF)
-    for i in range(0, len(bits), 255):
-        chunk = bits[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    return bits
+
+
+def encode_gif_animation(
+    frames: list,
+    palette: np.ndarray,
+    delays_cs: list | None = None,
+    transparents: list | None = None,
+    disposals: list | None = None,
+    rects: list | None = None,
+    loop: bool = True,
+) -> bytes:
+    """Multi-frame GIF89a animation encoder (pure stdlib+numpy):
+
+    - ``frames``: list of (h, w) uint8 palette-index arrays. Frame 0
+      sets the logical screen size; later frames may be smaller
+      sub-rectangles placed via ``rects`` [(left, top), ...].
+    - ``delays_cs``: per-frame delay in centiseconds (GCE field).
+    - ``transparents``: per-frame transparent palette index or None.
+    - ``disposals``: per-frame disposal method (0/1 leave, 2 restore
+      to background, 3 restore to previous) written into the GCE.
+    - ``loop``: emit the NETSCAPE2.0 infinite-loop application
+      extension (what every animated web GIF carries).
+
+    Spec: GIF89a (CompuServe 1990) + the de-facto Netscape looping
+    block. Reuses the single-frame encoder's LZW (``_lzw_encode``)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    nf = len(frames)
+    if nf == 0:
+        raise ValueError("animation needs at least one frame")
+    delays_cs = delays_cs if delays_cs is not None else [10] * nf
+    transparents = transparents if transparents is not None else [None] * nf
+    disposals = disposals if disposals is not None else [1] * nf
+    rects = rects if rects is not None else [(0, 0)] * nf
+    sh, sw = np.asarray(frames[0]).shape
+
+    n = 4
+    while n < len(pal):
+        n <<= 1
+    if n > 256:
+        raise ValueError("palette too large")
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    size_field = n.bit_length() - 2
+    min_code = max(2, size_field + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (size_field & 0x07), 0, 0])
+    out += pal_full.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(nf):
+        idx = np.asarray(frames[f], dtype=np.uint8)
+        h, w = idx.shape
+        left, top = rects[f]
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame rect outside logical screen")
+        tr = transparents[f]
+        packed = ((disposals[f] & 0x07) << 2) | (1 if tr is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", delays_cs[f])
+        out += bytes([tr if tr is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        out += b"\x00"  # no local table, not interlaced
+        out += bytes([min_code])
+        bits = _lzw_encode(idx.reshape(-1).tobytes(), min_code)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 0) -> dict:
+    """Animated GIF decode with real frame compositing (round 6; the
+    demux-and-sample primitive a media curation pipeline needs for the
+    web's dominant animation container).
+
+    Walks every image descriptor, composing each onto the logical
+    screen canvas per the GIF89a graphic-control semantics: the
+    transparency index leaves underlying canvas pixels visible;
+    disposal 0/1 leaves the composite, 2 restores the frame's
+    rectangle to the background color, 3 restores the whole canvas to
+    its pre-frame state. The canvas starts as the logical-screen
+    background color (LSD background index through the global table;
+    zeros when there is no global table) — the deterministic choice
+    for an RGB pipeline with no alpha channel, documented here because
+    browsers instead start transparent.
+
+    Returns ``{width, height, n_frames, frames: [{frame_idx,
+    delay_cs, pixels(h,w,3)}, ...]}``; with ``max_frames > 0`` decoding
+    stops early after that many frames (cheap sampling of long
+    animations). Single-frame GIFs yield exactly ``decode_gif``'s
+    pixels."""
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    bg_idx = b[11]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        gct, pos = _gif_color_table(b, pos, packed)
+    if gct is not None and bg_idx < len(gct):
+        bg = gct[bg_idx]
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    frames: list[dict] = []
+    # pending graphic-control state for the NEXT image descriptor
+    delay_cs = 0
+    disposal = 0
+    transparent: int | None = None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension
+            if pos + 1 >= len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                data, pos = _gif_subblocks(b, pos)
+                if len(data) >= 4:
+                    disposal = (data[0] >> 2) & 0x07
+                    delay_cs = int.from_bytes(data[1:3], "little")
+                    transparent = data[3] if data[0] & 0x01 else None
+            else:  # comment / application / plain-text: skip
+                _, pos = _gif_subblocks(b, pos)
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside logical screen")
+        table = gct
+        if ipacked & 0x80:
+            table, pos = _gif_color_table(b, pos, ipacked)
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(b):
+            raise ValueError("truncated GIF (no LZW min code size)")
+        min_code = b[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        pos += 1
+        data, pos = _gif_subblocks(b, pos)
+        idx = _lzw_decode(data, min_code, w * h)
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("GIF pixel index outside color table")
+        if ipacked & 0x40:
+            rows = np.empty(h, dtype=np.int64)
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            rows[order] = np.arange(h)
+            idx = idx.reshape(h, w)[rows]
+        else:
+            idx = idx.reshape(h, w)
+        snapshot = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = table[idx[mask]]
+        else:
+            region[:] = table[idx]
+        frames.append({
+            "frame_idx": len(frames),
+            "delay_cs": delay_cs,
+            "pixels": canvas.copy(),
+        })
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3:
+            canvas = snapshot
+        delay_cs, disposal, transparent = 0, 0, None
+        if max_frames and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF has no image descriptor")
+    return {
+        "width": sw, "height": sh, "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+#: schema for gif_frame_sample_stage output
+GIF_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("delay_cs", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("px_hex", StringType()),
+    StructField("err", StringType()),
+])
+
+
+def gif_frame_sample_stage(
+    media: DataFrame, every_n: int = 1, max_frames: int = 0
+) -> DataFrame:
+    """Distributed REAL frame sampler over animated GIF payloads: one
+    Arrow pass, one output row per sampled (composited) frame — the
+    row-explosion `frame_sample` stubs for video, made real for the
+    container this repo can actually decode. Per-row error capture
+    (err column) keeps one malformed payload from failing the batch;
+    ``every_n`` keeps every nth frame, ``max_frames`` bounds decode
+    work per animation. Zero shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in GIF_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    g = decode_gif_frames(bytes(payload or b""),
+                                          max_frames=max_frames)
+                    for fr in g["frames"][::max(every_n, 1)]:
+                        rows["media_id"].append(int(mid))
+                        rows["frame_idx"].append(fr["frame_idx"])
+                        rows["delay_cs"].append(fr["delay_cs"])
+                        rows["width"].append(g["width"])
+                        rows["height"].append(g["height"])
+                        rows["px_hex"].append(fr["pixels"].tobytes().hex())
+                        rows["err"].append(None)
+                except (ValueError, NotImplementedError) as exc:
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(-1)
+                    rows["delay_cs"].append(0)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["px_hex"].append(None)
+                    rows["err"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame({
+                "media_id": pd.array(rows["media_id"], dtype="Int64"),
+                "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                "delay_cs": pd.array(rows["delay_cs"], dtype="Int32"),
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "px_hex": rows["px_hex"],
+                "err": rows["err"],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, GIF_FRAME_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
