@@ -1493,12 +1493,14 @@ def oracle_sql() -> dict[str, str]:
     sim_pack = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(simhash_bits)
     )
-    langs = ["de", "en", "es", "fr"]
+    # generated from the one authoritative dict (ironspark.textops.
+    # STOPWORDS) so the Spark vote and the DuckDB mirror cannot drift
+    # when a language is added (round 6 added it/nl/pt)
+    from ironspark.textops import STOPWORDS as _STOP
+
+    langs = sorted(_STOP)
     stop_lists = {
-        "en": "'the','and','of','to','in','is','that','it','for','was'",
-        "de": "'der','die','das','und','ist','nicht','ein','mit','auf','zu'",
-        "fr": "'le','la','les','et','est','pas','des','une','dans','que'",
-        "es": "'el','la','los','y','es','no','un','con','por','para'",
+        lg: ",".join(f"'{w}'" for w in _STOP[lg]) for lg in langs
     }
     lang_sums = ", ".join(
         f"SUM(CASE WHEN word IN ({stop_lists[lg]}) THEN 1 ELSE 0 END) AS n_{lg}"

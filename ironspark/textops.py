@@ -35,6 +35,14 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
     "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"],
     "es": ["el", "la", "los", "y", "es", "no", "un", "con", "por", "para"],
+    # round 6: +it/nl/pt. ASCII-only word choices (no accent/collation
+    # edge between engines); cross-list collisions (es/fr "la", pt "de")
+    # are tolerated — ties break by language-code order identically in
+    # the Spark when-chain and the generated DuckDB CASE, and the
+    # oracle lists are GENERATED from this dict so they cannot drift.
+    "it": ["il", "di", "che", "per", "della", "sono", "anche", "gli", "nel", "alla"],
+    "nl": ["het", "een", "van", "niet", "op", "te", "voor", "zijn", "met", "ook"],
+    "pt": ["de", "do", "da", "em", "para", "com", "uma", "os", "as", "mais"],
 }
 
 

@@ -27,6 +27,10 @@ GOLDENS = [
     ("โมเดลการเรียนรู้ของเครื่องต้องการข้อมูลจำนวนมาก", "th"),
     ("מודלים של למידת מכונה זקוקים להרבה נתונים", "he"),
     ("9731 8462 5019 2784 6203", "und"),
+    # round 6: the three Latin languages added to STOPWORDS
+    ("il mare e bello e anche il sole che vediamo nel cielo sono della natura", "it"),
+    ("het weer is mooi en we gaan met de fiets van het huis naar een park om ook niet te laat te zijn", "nl"),
+    ("a cidade tem uma praia bonita e vamos para ela com os amigos de manha para ver mais do mar", "pt"),
 ]
 
 
