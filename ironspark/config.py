@@ -116,6 +116,20 @@ class EngineConfig:
     recrawl_interval_s: float | None = None
     recrawl_per_host_budget: int = 5
 
+    # -- spider-trap throttling (ours; pairs with url.url_templates) -----------
+    # When set, each wave caps the number of scheduled URLs per
+    # (host, generalized URL template) flagged as a trap — a template
+    # containing a {D}/{H} placeholder that covers >= trap_min_urls of
+    # the host's pending URLs and >= trap_share of its pending set
+    # (calendar traps, session ids, infinite pagination). Capped rows
+    # are NOT dropped: they stay pending in FIFO order and trickle out
+    # at trap_template_cap per wave instead of eating the politeness
+    # budget. None = off. Must be >= 1 when set (guarantees progress,
+    # so a trap host drains eventually and idle shutdown still fires).
+    trap_template_cap: int | None = None
+    trap_min_urls: int = 100
+    trap_share: float = 0.5
+
     # -- per-spider lifecycle (L3 deactivation sweep, manager.rs:188-199) ------
     # True: track per-spider pending counts each wave and call close()
     # as soon as a spider has no in-flight work (two small extra jobs

@@ -119,6 +119,55 @@ def robots_disallow_filter(pending: DataFrame, robots: DataFrame | None) -> Data
     return joined.filter(~blocked).drop("disallow", "allow")
 
 
+def throttle_traps(pending: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Spider-trap throttle (pairs with url.url_templates): cap the rows
+    a flagged (host, template) group may offer this wave to
+    cfg.trap_template_cap, lowest seq first. A trap is a generalized
+    template ({D}/{H} placeholder) covering >= trap_min_urls pending
+    URLs and >= trap_share of its host's pending set — the signature of
+    calendar traps, session ids and infinite pagination. Throttled rows
+    are not dropped; select_wave's deferred anti-join keeps them
+    pending, so the group trickles out cap-per-wave (cap >= 1
+    guarantees progress and eventual idle shutdown).
+
+    Scale: one (host, template) hash-agg over the frontier + a
+    broadcast of the (small by construction) trap set; the cap rank
+    runs ONLY over flagged rows, two-phase salted exactly like the
+    politeness rank because a trap group is by definition huge.
+    """
+    from ironspark.url import template_expr
+
+    t = pending.withColumn("_tmpl", template_expr(F.col("url_canon")))
+    counts = t.groupBy("host", "_tmpl").agg(F.count("*").alias("_tn"))
+    hosts = counts.groupBy("host").agg(F.sum("_tn").alias("_hn"))
+    traps = (
+        counts.join(hosts, "host")
+        .filter(
+            F.col("_tmpl").contains("{")
+            & (F.col("_tn") >= cfg.trap_min_urls)
+            & (F.col("_tn") / F.col("_hn") >= cfg.trap_share)
+        )
+        .select("host", "_tmpl")
+    )
+    flagged = t.join(F.broadcast(traps), ["host", "_tmpl"], "left_semi")
+    clean = t.join(
+        F.broadcast(traps), ["host", "_tmpl"], "left_anti"
+    ).drop("_tmpl")
+    cap = cfg.trap_template_cap
+    salt = F.pmod(F.xxhash64("url_canon"), F.lit(cfg.skew_salt_buckets))
+    w1 = Window.partitionBy("host", "_tmpl", salt).orderBy("seq")
+    p1 = flagged.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= cap
+    )
+    w2 = Window.partitionBy("host", "_tmpl").orderBy("seq")
+    kept = (
+        p1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_r1", "_r2", "_tmpl")
+    )
+    return clean.unionByName(kept)
+
+
 def select_wave(
     pending: DataFrame, robots: DataFrame | None, cfg: EngineConfig
 ) -> tuple[DataFrame, DataFrame]:
@@ -126,10 +175,16 @@ def select_wave(
 
     scheduled = per-host lowest-seq rows within budget (two-phase salted
     rank), optionally capped globally by cfg.max_wave_size in seq order
-    (the reference's global quota / backpressure analog). deferred =
-    everything else, untouched, stays pending next wave.
+    (the reference's global quota / backpressure analog); when
+    cfg.trap_template_cap is set, trap-flagged (host, template) groups
+    are first capped by throttle_traps. deferred = everything else,
+    untouched, stays pending next wave.
     """
-    p = with_budget(pending, robots, cfg)
+    if cfg.trap_template_cap is not None:
+        pending_in = throttle_traps(pending, cfg)
+    else:
+        pending_in = pending
+    p = with_budget(pending_in, robots, cfg)
 
     # fast path: hosts with pending <= budget schedule everything and
     # SKIP the rank windows entirely — at steady state in a broad crawl

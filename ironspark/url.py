@@ -158,3 +158,66 @@ def with_canonical(df, url_col: str = "url"):
     return df.withColumn("url_canon", canonicalize_udf(F.col(url_col))).withColumn(
         "host", host_udf(F.col(url_col))
     )
+
+
+def template_expr(col):
+    """Column expression generalizing a URL's path+query to a template:
+    hex runs of 8+ chars -> ``{H}``, then digit runs -> ``{D}``. Shared
+    by ``url_templates`` and the engine's trap throttle
+    (politeness.throttle_traps) so both agree on what a template is."""
+    rest = F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    return F.regexp_replace(
+        F.regexp_replace(rest, r"[0-9a-f]{8,}", "{H}"), r"[0-9]+", "{D}"
+    )
+
+
+def url_templates(
+    urls, url_col: str = "url", min_urls: int = 10, trap_share: float = 0.5
+):
+    """URL-template mining / spider-trap detection over a frontier or
+    crawl log (crawl-ops analytics; no reference counterpart — the
+    operator a production crawler runs to find calendar traps, session
+    IDs and infinite URL spaces before they eat the politeness budget).
+
+    Generalizes each URL to a template: hex runs of 8+ chars become
+    ``{H}`` (session tokens, content hashes), then digit runs become
+    ``{D}`` (ids, dates, pagination). Emits one row per (host,
+    template): URL count, the host's total, the template's share of the
+    host, and ``is_trap`` — a generalized template (contains a
+    placeholder) covering >= ``min_urls`` URLs and >= ``trap_share`` of
+    its host. Downstream the engine's admission control can demote or
+    cap matching URLs.
+
+    Scale: two hash-aggregates (template counts from a projection of
+    the URL scan, host totals from the first agg — no second scan of
+    the input) + one join keyed on host; the join's right side is
+    hosts-sized (millions of rows at web scale, AQE picks broadcast
+    when it fits). Everything is JVM regexp_replace — no Python.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    tmpl = template_expr(F.col(url_col))
+    per_tmpl = (
+        urls.select(host.alias("host"), tmpl.alias("template"))
+        .filter(F.col("host") != "")
+        .groupBy("host", "template")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    per_host = per_tmpl.groupBy("host").agg(
+        F.sum("n_urls").cast("long").alias("host_urls")
+    )
+    share = F.col("n_urls") / F.col("host_urls")
+    return (
+        per_tmpl.join(per_host, "host")
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "host_urls",
+            F.round(share, 6).alias("url_share"),
+            (
+                F.col("template").contains("{")
+                & (F.col("n_urls") >= min_urls)
+                & (share >= trap_share)
+            ).alias("is_trap"),
+        )
+    )
