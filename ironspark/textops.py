@@ -991,3 +991,120 @@ def repetition_signals(
             ).alias("top_ngram_char_frac"),
         )
     )
+
+
+def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
+    """Distributed BPE merge learning: the tokenizer-training step of an
+    LLM data pipeline, run corpus-side.
+
+    Standard byte-pair-encoding training (Sennrich et al. 2016) over the
+    corpus word-frequency table: each round counts adjacent symbol pairs
+    (weighted by word frequency), merges the most frequent pair
+    everywhere, and records it; ``num_merges`` rounds produce the merge
+    list that defines the tokenizer.
+
+    Returns one row per learned merge:
+    ``(merge_rank int, lft, rgt, merged string, pair_count long)``.
+    Ties break deterministically by (count desc, lft asc, rgt asc), so
+    the merge list is reproducible run-over-run and engine-over-engine.
+
+    Engine-portable representation: a word's symbol sequence is kept as
+    a single padded string — ``' ' + '  '.join(symbols) + ' '`` (single
+    space at both ends, double space between symbols; symbols never
+    contain spaces). Applying merge (L, R) is then the plain left-to-
+    right non-overlapping literal replace of ``' L  R '`` with
+    ``' LR '``: each match consumes one space from each side of the
+    double-space separators, so adjacent candidate pairs keep their own
+    delimiters and the greedy scan matches BPE's one-pass merge
+    semantics exactly (a triple ``a a a`` under pair (a,a) becomes
+    ``aa a``, never ``a aa``). ``replace`` has identical scan semantics
+    in Spark and DuckDB, which is what makes the unrolled SQL oracle
+    possible.
+
+    Scale: the corpus touch is ONE word-count aggregation (map-side
+    combine; the 100 TB input reduces to a vocabulary-sized table,
+    ~1e8 rows at web scale). Each merge round is one pair-count
+    hash-aggregate over that vocabulary table plus a single-ROW argmax
+    collect — the algorithm's inherent sync point, same shape as
+    PageRank's dangling-mass fold. The evolving symbol table is
+    localCheckpoint-ed per round to truncate the replace-chain lineage.
+    Real tokenizers run 30k+ merges; at that K you run exactly this
+    loop on the (small) collected vocabulary driver-side — the
+    distributed win is the corpus -> word-frequency reduction, which
+    this keeps as the only full-data pass. BMP-only symbol split
+    (astral chars would split surrogate pairs; fine for web text test
+    corpora and documented here).
+    """
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, num_merges + 1):
+        ws = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(ws)
+        pairs = cur.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, n - 1).alias("lft"),
+                    F.slice(ws, 2, n - 1).alias("rgt"),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt")
+            )
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lft", "rgt")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top["lft"], top["rgt"], top["cnt"]))
+        nxt = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['lft']}  {top['rgt']} "),
+                F.lit(f" {top['lft']}{top['rgt']} "),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("merge_rank", IntegerType()),
+            StructField("lft", StringType()),
+            StructField("rgt", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    rows = [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges]
+    return spark.createDataFrame(rows, schema)
