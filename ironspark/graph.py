@@ -149,3 +149,48 @@ def pagerank_fixedpoint(
             .localCheckpoint(eager=False)
         )
     return state.select("node", F.col("rank").alias("pr_scaled"))
+
+
+def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
+    """Anchor-text aggregation: per target page, the top-k anchor words
+    across every inbound link (the classic web-graph signal — anchor
+    text describes the TARGET better than the target's own text; used
+    for retrieval training data and document expansion).
+
+    Input: ``(src: long, dst: long, anchor: string)`` link rows from
+    extraction. Output one row per (dst, word) kept: inbound-link count
+    for the page, the word's weighted count (a page linking twice votes
+    twice), and its rank. Ties break (count desc, word asc) so the
+    ranking is engine-reproducible.
+
+    Scale: one explode + one (dst, word) hash-aggregate (map-side
+    combine absorbs the repetition that makes an anchor word frequent),
+    a dst-keyed inbound-count aggregate joined back (dst-sized, AQE
+    broadcasts when it fits), and ONE window partitioned by dst for the
+    top-k — the same shape as tfidf_topk, no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    words = links.select(
+        "dst",
+        F.explode(F.split(F.lower(F.col("anchor")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("dst", "word").agg(
+        F.count("*").cast("long").alias("n_word")
+    )
+    inbound = links.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
+    win = Window.partitionBy("dst").orderBy(F.desc("n_word"), "word")
+    return (
+        wc.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .join(inbound, "dst")
+        .select(
+            "dst",
+            "word",
+            "n_word",
+            F.col("rn").cast("int").alias("rn"),
+            "n_links",
+        )
+    )
