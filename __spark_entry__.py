@@ -1253,17 +1253,70 @@ def _a_ivf_index(spark, sf):
     return idx.search(_query_vec(spark, sf), k=10, nprobe=2)
 
 
+def _t_bpe_merges(spark, sf):
+    from ironspark.textops import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), num_merges=6)
+
+
+def _c_url_templates(spark, sf):
+    # deterministic URL log derived from events: hosts h0..h49; h0 is a
+    # session-id trap (every URL unique, one {H} template, share 1.0),
+    # the rest paginate by event_type with numeric item ids ({D}
+    # templates whose share splits across the host's event types)
+    from ironspark.url import url_templates
+
+    ev = _t(spark, sf, "events")
+    url = F.when(
+        F.col("user_id") % 50 == 0,
+        F.concat(
+            F.lit("https://h0.example.com/s/"),
+            F.md5(F.col("event_id").cast("string")),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/"),
+            F.lower("event_type"),
+            F.lit("/item"),
+            (F.col("event_id") % 1000).cast("string"),
+        )
+    )
+    return url_templates(
+        ev.select(url.alias("url")), min_urls=10, trap_share=0.5
+    )
+
+
+def _g_anchor_topk(spark, sf):
+    # deterministic link table from documents: each doc links to one of
+    # 97 target pages (md5-derived), its first 80 chars as anchor text
+    from ironspark.graph import anchor_topk
+    from ironspark.textops import _md5num
+
+    d = _t(spark, sf, "documents")
+    links = d.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(_md5num(F.col("doc_id").cast("string")), F.lit(97))
+        .cast("long")
+        .alias("dst"),
+        F.substring("text", 1, 80).alias("anchor"),
+    )
+    return anchor_topk(links, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 76 — so the FRONT of the
+    # entries per round while this dict holds 79 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
-    # gate-green in the r5 review), then the new round-6 entries
-    # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames), then the
-    # 50 entries driver-attested in CORRECTNESS_r05.json. Every entry therefore keeps a driver-green
-    # row within the last two rounds. Every entry stays shipped and
-    # green under scripts/driver_gate.py; only attestation order
-    # changes.
+    # gate-green in the r5 review), then the seven new round-6 entries
+    # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames,
+    # t_bpe_merges, c_url_templates, g_anchor_topk), then the 50
+    # entries driver-attested in CORRECTNESS_r05.json. Every entry
+    # therefore keeps a driver-green row within the last two rounds.
+    # Every entry stays shipped and green under scripts/driver_gate.py;
+    # only attestation order changes.
     return {
         # -- last driver row r4 (gate-green in the r5 review) → front --
         "a_knn_join": _a_knn_join,
@@ -1293,6 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_langid_script": _t_langid_script,
         "mm_gif_bmp": _mm_gif_bmp,
         "mm_gif_frames": _mm_gif_frames,
+        "t_bpe_merges": _t_bpe_merges,
+        "c_url_templates": _c_url_templates,
+        "g_anchor_topk": _g_anchor_topk,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -1414,6 +1470,47 @@ def _pagerank_oracle_sql(
         "WITH " + ", ".join(ctes)
         + f" SELECT node, rank AS pr_scaled FROM {prev}"
     )
+
+
+def _bpe_oracle_sql(num_merges: int = 6) -> str:
+    """Unrolled BPE merge learning mirroring textops.bpe_train: the same
+    padded-string symbol representation, zip-adjacent pair counts,
+    (count desc, lft, rgt) argmax tie-break, and greedy left-to-right
+    literal replace — one CTE quartet per merge round. replace() has
+    identical non-overlapping scan semantics in both engines, which is
+    what makes this mirror exact."""
+    ctes = [
+        "w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))"
+        " || ' ' AS s, freq FROM w)",
+    ]
+    for i in range(num_merges):
+        ctes.append(
+            f"c{i} AS (SELECT string_split(trim(s), '  ') AS ws, freq "
+            f"FROM s{i})"
+        )
+        ctes.append(
+            f"q{i} AS (SELECT "
+            "unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS lft, "
+            "unnest(list_transform(range(1, len(ws)), j -> ws[j + 1])) AS rgt, "
+            f"freq FROM c{i})"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT lft, rgt, CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM q{i} GROUP BY lft, rgt ORDER BY cnt DESC, lft, rgt LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT replace(s, ' ' || lft || '  ' || rgt || ' ', "
+            f"' ' || lft || rgt || ' ') AS s, freq FROM s{i}, m{i})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, lft, rgt, lft || rgt AS merged, "
+        f"cnt AS pair_count FROM m{i}"
+        for i in range(num_merges)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
 
 # PII patterns (textops._PII_*) with SQL-literal quoting; identical
 # byte-for-byte so the oracle exercises the same regex dialect subset
@@ -1840,6 +1937,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)"
         ),
         "g_pagerank": _pagerank_oracle_sql(iterations=5),
+        "t_bpe_merges": _bpe_oracle_sql(num_merges=6),
+        "c_url_templates": (
+            "WITH u AS (SELECT CASE WHEN user_id % 50 = 0 "
+            "THEN 'https://h0.example.com/s/' || md5(CAST(event_id AS VARCHAR)) "
+            "ELSE 'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example.com/' "
+            "|| lower(event_type) || '/item' || CAST(event_id % 1000 AS VARCHAR) "
+            "END AS url FROM events), "
+            "t AS (SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host, "
+            "regexp_replace(regexp_replace("
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1), "
+            "'[0-9a-f]{8,}', '{H}', 'g'), '[0-9]+', '{D}', 'g') AS template FROM u), "
+            "g AS (SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls "
+            "FROM t WHERE host <> '' GROUP BY host, template), "
+            "h AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls "
+            "FROM g GROUP BY host) "
+            "SELECT host, template, n_urls, host_urls, "
+            "ROUND(n_urls / host_urls, 6) AS url_share, "
+            "(template LIKE '%{%' AND n_urls >= 10 AND n_urls / host_urls >= 0.5) "
+            "AS is_trap FROM g JOIN h USING (host)"
+        ),
+        "g_anchor_topk": (
+            "WITH l AS (SELECT doc_id AS src, CAST("
+            + _MD5NUM_DUCK.format(x="CAST(doc_id AS VARCHAR)")
+            + " % 97 AS BIGINT) AS dst, substr(text, 1, 80) AS anchor "
+            "FROM documents), "
+            "w AS (SELECT dst, unnest(string_split_regex(lower(anchor), '\\s+')) "
+            "AS word FROM l), "
+            "wf AS (SELECT dst, word, CAST(COUNT(*) AS BIGINT) AS n_word "
+            "FROM w WHERE word <> '' GROUP BY dst, word), "
+            "r AS (SELECT dst, word, n_word, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY dst ORDER BY n_word DESC, word) AS INT) AS rn FROM wf), "
+            "i AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_links FROM l "
+            "GROUP BY dst) "
+            "SELECT dst, word, n_word, rn, n_links FROM r JOIN i USING (dst) "
+            "WHERE rn <= 3"
+        ),
         "t_line_dedup": (
             f"WITH {_CHUNKED_CTE}, "
             "lines AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS line_idx, "
