@@ -1108,3 +1108,68 @@ def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
     )
     rows = [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges]
     return spark.createDataFrame(rows, schema)
+
+
+def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a learned BPE merge list (bpe_train's output) to the
+    corpus and return the resulting token-frequency table — the
+    "tokenize the corpus, count the tokens" step that sizes an LLM
+    training run and audits tokenizer fit (fertility, OOV-ish
+    single-char tail).
+
+    Returns one row per distinct token: ``(token string, n_tokens
+    long)`` where n_tokens is the corpus-wide occurrence count
+    (word frequency × occurrences inside the word).
+
+    Same padded double-space string representation as bpe_train, so
+    applying merge (L, R) in rank order is the literal replace of
+    ``' L  R '`` with ``' LR '`` — greedy left-to-right, identical
+    scan semantics in Spark and DuckDB (the unrolled oracle mirrors
+    the same chain).
+
+    Scale: ONE full-data pass (the word-count reduction); the merge
+    list is rank-collected to the driver (it is tokenizer-sized —
+    30k rows at GPT-2 scale, trivially collectable) and applied as a
+    chained codegen replace over the vocabulary-sized word table —
+    re-chunked through localCheckpoint every 32 merges so the
+    expression tree stays bounded. The final token count is one more
+    vocabulary-sized hash-aggregate. No Python in any row path.
+    """
+    ranked = sorted(
+        merges.select("merge_rank", "lft", "rgt").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+    col = F.col("s")
+    for i, r in enumerate(ranked):
+        col = F.replace(
+            col,
+            F.lit(f" {r['lft']}  {r['rgt']} "),
+            F.lit(f" {r['lft']}{r['rgt']} "),
+        )
+        if (i + 1) % 32 == 0:
+            cur = cur.select(col.alias("s"), "freq").localCheckpoint()
+            col = F.col("s")
+    cur = cur.select(col.alias("s"), "freq")
+    return (
+        cur.select(
+            F.explode(F.split(F.trim("s"), "  ")).alias("token"), "freq"
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+    )

@@ -105,3 +105,45 @@ def test_tie_break_is_lexicographic(spark):
     texts = ["ba ba cd cd"]
     got = _spark_bpe(spark, texts, 1)
     assert got[0][1:] == ("b", "a", "ba", 2)
+
+
+# -- tokenizer application (textops.bpe_encode, round 6) ---------------------
+
+def test_encode_matches_reference_token_counts(spark):
+    from ironspark.textops import bpe_encode
+
+    num_merges = 6
+    vocab = collections.Counter()
+    for t in CORPUS:
+        for w in t.lower().split():
+            if w:
+                vocab[w] += 1
+    words = {w: [tuple(w), f] for w, f in vocab.items()}
+
+    def merge_word(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _, a, b, _m, _c in _ref_bpe(CORPUS, num_merges):
+        for entry in words.values():
+            entry[0] = merge_word(entry[0], (a, b))
+    expect = collections.Counter()
+    for syms, f in words.values():
+        for s in syms:
+            expect[s] += f
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(CORPUS)), "text": CORPUS})
+    )
+    merges = bpe_train(df, num_merges=num_merges)
+    got = {
+        r["token"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()
+    }
+    assert got == dict(expect)
