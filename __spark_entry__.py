@@ -1305,14 +1305,41 @@ def _g_anchor_topk(spark, sf):
     return anchor_topk(links, k=3)
 
 
+def _g_components(spark, sf):
+    # deterministic mixed-size component graph from documents: blocks
+    # of 4 consecutive doc_ids star onto their block root, and every
+    # 20th doc bridges its block root to node 5 of the next block
+    # (8-node components at every 20-stride, 4-node otherwise; block
+    # roots appear as self-loops, exercising the u==v drop path)
+    from ironspark.graph import connected_components
+
+    d = _t(spark, sf, "documents")
+    blocks = d.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+    )
+    bridges = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    return connected_components(blocks.unionByName(bridges))
+
+
+def _t_bpe_tokens(spark, sf):
+    from ironspark.textops import bpe_encode, bpe_train
+
+    d = _t(spark, sf, "documents")
+    return bpe_encode(d, bpe_train(d, num_merges=6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 79 — so the FRONT of the
+    # entries per round while this dict holds 81 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
     # gate-green in the r5 review), then the seven new round-6 entries
     # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames,
-    # t_bpe_merges, c_url_templates, g_anchor_topk), then the 50
+    # t_bpe_merges, c_url_templates, g_anchor_topk, g_components,
+    # t_bpe_tokens), then the 50
     # entries driver-attested in CORRECTNESS_r05.json. Every entry
     # therefore keeps a driver-green row within the last two rounds.
     # Every entry stays shipped and green under scripts/driver_gate.py;
@@ -1349,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_merges": _t_bpe_merges,
         "c_url_templates": _c_url_templates,
         "g_anchor_topk": _g_anchor_topk,
+        "g_components": _g_components,
+        "t_bpe_tokens": _t_bpe_tokens,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -1472,13 +1501,13 @@ def _pagerank_oracle_sql(
     )
 
 
-def _bpe_oracle_sql(num_merges: int = 6) -> str:
-    """Unrolled BPE merge learning mirroring textops.bpe_train: the same
-    padded-string symbol representation, zip-adjacent pair counts,
-    (count desc, lft, rgt) argmax tie-break, and greedy left-to-right
-    literal replace — one CTE quartet per merge round. replace() has
-    identical non-overlapping scan semantics in both engines, which is
-    what makes this mirror exact."""
+def _bpe_ctes(num_merges: int) -> list:
+    """Shared CTE chain for the BPE oracles: word-frequency table,
+    padded-string symbol states s0..s{num_merges}, per-round pair-count
+    argmax m{i} — mirroring textops.bpe_train exactly (same padded
+    double-space representation, same (count desc, lft, rgt)
+    tie-break, same greedy left-to-right literal replace; replace()
+    has identical non-overlapping scan semantics in both engines)."""
     ctes = [
         "w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
         "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word "
@@ -1505,12 +1534,34 @@ def _bpe_oracle_sql(num_merges: int = 6) -> str:
             f"s{i + 1} AS (SELECT replace(s, ' ' || lft || '  ' || rgt || ' ', "
             f"' ' || lft || rgt || ' ') AS s, freq FROM s{i}, m{i})"
         )
+    return ctes
+
+
+def _bpe_oracle_sql(num_merges: int = 6) -> str:
+    """Unrolled BPE merge learning: one CTE quartet per round (see
+    _bpe_ctes); selects the per-round argmax rows as the merge list."""
+    ctes = _bpe_ctes(num_merges)
     sel = " UNION ALL ".join(
         f"SELECT {i + 1} AS merge_rank, lft, rgt, lft || rgt AS merged, "
         f"cnt AS pair_count FROM m{i}"
         for i in range(num_merges)
     )
     return "WITH " + ", ".join(ctes) + " " + sel
+
+
+def _bpe_tokens_oracle_sql(num_merges: int = 6) -> str:
+    """Unrolled BPE tokenizer application mirroring textops.bpe_encode:
+    the final symbol state s{num_merges} exploded back into tokens and
+    frequency-summed."""
+    ctes = _bpe_ctes(num_merges)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", tok AS (SELECT unnest(string_split(trim(s), '  ')) AS token,"
+        f" freq FROM s{num_merges}) "
+        "SELECT token, CAST(SUM(freq) AS BIGINT) AS n_tokens "
+        "FROM tok GROUP BY token"
+    )
 
 # PII patterns (textops._PII_*) with SQL-literal quoting; identical
 # byte-for-byte so the oracle exercises the same regex dialect subset
@@ -1938,6 +1989,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "g_pagerank": _pagerank_oracle_sql(iterations=5),
         "t_bpe_merges": _bpe_oracle_sql(num_merges=6),
+        "t_bpe_tokens": _bpe_tokens_oracle_sql(num_merges=6),
+        "g_components": (
+            # min-node-reachable via recursive transitive closure over
+            # the symmetric edge view — component sizes are planted
+            # small (4/8 nodes), so the closure stays tiny; the Spark
+            # side runs large-star/small-star, a genuinely different
+            # algorithm landing the same labels
+            "WITH RECURSIVE "
+            "e0 AS (SELECT doc_id AS src, doc_id - doc_id % 4 AS dst "
+            "FROM documents UNION ALL "
+            "SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 20 = 0), "
+            "e AS (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst "
+            "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+            "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 "
+            "UNION ALL SELECT dst FROM e0)), "
+            "r AS (SELECT node, node AS reach FROM n "
+            "UNION SELECT r.node, e.v FROM r JOIN e ON e.u = r.reach) "
+            "SELECT node, CAST(MIN(reach) AS BIGINT) AS component "
+            "FROM r GROUP BY node"
+        ),
         "c_url_templates": (
             "WITH u AS (SELECT CASE WHEN user_id % 50 = 0 "
             "THEN 'https://h0.example.com/s/' || md5(CAST(event_id AS VARCHAR)) "
