@@ -1324,6 +1324,12 @@ def _g_components(spark, sf):
     return connected_components(blocks.unionByName(bridges))
 
 
+def _g_hits(spark, sf):
+    from ironspark.graph import hits_fixedpoint
+
+    return hits_fixedpoint(_g_edges(spark, sf), iterations=4)
+
+
 def _t_bpe_tokens(spark, sf):
     from ironspark.textops import bpe_encode, bpe_train
 
@@ -1333,13 +1339,13 @@ def _t_bpe_tokens(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 81 — so the FRONT of the
+    # entries per round while this dict holds 82 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
     # gate-green in the r5 review), then the seven new round-6 entries
     # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames,
     # t_bpe_merges, c_url_templates, g_anchor_topk, g_components,
-    # t_bpe_tokens), then the 50
+    # t_bpe_tokens, g_hits), then the 50
     # entries driver-attested in CORRECTNESS_r05.json. Every entry
     # therefore keeps a driver-green row within the last two rounds.
     # Every entry stays shipped and green under scripts/driver_gate.py;
@@ -1378,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_anchor_topk": _g_anchor_topk,
         "g_components": _g_components,
         "t_bpe_tokens": _t_bpe_tokens,
+        "g_hits": _g_hits,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -1498,6 +1505,50 @@ def _pagerank_oracle_sql(
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT node, rank AS pr_scaled FROM {prev}"
+    )
+
+
+def _hits_oracle_sql(iterations: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled integer fixed-point HITS mirroring graph.hits_fixedpoint:
+    identical recurrence (dst-keyed auth sum, max-normalize, src-keyed
+    hub sum, max-normalize), one CTE sextet per iteration."""
+    ctes = [
+        f"e AS ({_G_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT dst, CAST(SUM(hub) AS BIGINT) AS araw "
+            f"FROM e JOIN h{i - 1} ON node = src GROUP BY dst)"
+        )
+        ctes.append(
+            f"am{i} AS (SELECT CAST(COALESCE(MAX(araw), 1) AS BIGINT) "
+            f"AS amax FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT node, CAST(COALESCE(araw, 0) * {scale} // "
+            f"(SELECT amax FROM am{i}) AS BIGINT) AS auth "
+            f"FROM nodes LEFT JOIN ar{i} ON node = dst)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT src, CAST(SUM(auth) AS BIGINT) AS hraw "
+            f"FROM e JOIN a{i} ON node = dst GROUP BY src)"
+        )
+        ctes.append(
+            f"hm{i} AS (SELECT CAST(COALESCE(MAX(hraw), 1) AS BIGINT) "
+            f"AS hmax FROM hr{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, CAST(COALESCE(hraw, 0) * {scale} // "
+            f"(SELECT hmax FROM hm{i}) AS BIGINT) AS hub "
+            f"FROM nodes LEFT JOIN hr{i} ON node = src)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, hub AS hub_scaled, auth AS auth_scaled "
+        f"FROM h{iterations} JOIN a{iterations} USING (node)"
     )
 
 
@@ -1990,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank": _pagerank_oracle_sql(iterations=5),
         "t_bpe_merges": _bpe_oracle_sql(num_merges=6),
         "t_bpe_tokens": _bpe_tokens_oracle_sql(num_merges=6),
+        "g_hits": _hits_oracle_sql(iterations=4),
         "g_components": (
             # min-node-reachable via recursive transitive closure over
             # the symmetric edge view — component sizes are planted

@@ -151,6 +151,95 @@ def pagerank_fixedpoint(
     return state.select("node", F.col("rank").alias("pr_scaled"))
 
 
+def hits_fixedpoint(
+    edges: DataFrame, iterations: int = 5, scale: int = 1_000_000
+) -> DataFrame:
+    """Deterministic fixed-point HITS (Kleinberg 1999): hub and
+    authority scores over the link graph — the other classic web-graph
+    ranking, complementary to PageRank (a hub links to many good
+    authorities; an authority is linked from many good hubs; used for
+    seed selection and spam-farm detection in crawl curation).
+
+    Integer arithmetic with L-infinity normalization: per iteration
+        auth_raw(v) = sum over in-edges (u,v) of hub(u)
+        auth(v)     = auth_raw(v) * scale DIV max(auth_raw)
+        hub_raw(u)  = sum over out-edges (u,v) of auth(v)
+        hub(u)      = hub_raw(u) * scale DIV max(hub_raw)
+    with hub_0 = scale. Max-normalization keeps every score in
+    [0, scale] as exact BIGINTs, so results are bit-identical across
+    partitionings and engines (same property as pagerank_fixedpoint;
+    float HITS with L2 normalization is not reproducible under
+    parallel sum reordering). Parallel edges act as weights. Overflow
+    headroom: the normalization product is bounded by
+    max-weighted-degree * scale^2, so the default scale=1e6 is exact
+    up to ~9.2e6 inbound links on one page; beyond that lower scale
+    (quantization stays < 1/scale of the max score) or swap the two
+    BIGINT products to DECIMAL(38,0).
+
+    Returns (node, hub_scaled, auth_scaled) after ``iterations``
+    rounds; nodes with no out-edges have hub 0, no in-edges auth 0.
+
+    Scale: per iteration exactly two keyed shuffles (the dst-keyed
+    auth sum, the src-keyed hub sum) and two 1-row max aggregates
+    broadcast back via crossJoin; the score table is nodes-sized.
+    Lineage truncated per iteration with localCheckpoint.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    nodes = _nodes(e)
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").cast("long").alias("araw"))
+        )
+        amax = araw.agg(
+            F.coalesce(F.max("araw"), F.lit(1)).cast("long").alias("amax")
+        )
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(araw, CAST(0 AS BIGINT)) * {scale} DIV amax"
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").cast("long").alias("hraw"))
+        )
+        hmax = hraw.agg(
+            F.coalesce(F.max("hraw"), F.lit(1)).cast("long").alias("hmax")
+        )
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(hraw, CAST(0 AS BIGINT)) * {scale} DIV hmax"
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.col("hub").alias("hub_scaled"),
+            F.col("auth").alias("auth_scaled"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 20
 ) -> DataFrame:

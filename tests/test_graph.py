@@ -132,3 +132,59 @@ def test_cc_star_and_singleton_components(spark):
     edges = [(10, 2), (10, 7), (10, 30), (40, 41), (50, 50)]
     out = _cc(spark, edges)
     assert out == {2: 2, 7: 2, 10: 2, 30: 2, 40: 40, 41: 40, 50: 50}
+
+
+# -- HITS (integer fixed point, round 6) --------------------------------------
+
+from ironspark.graph import hits_fixedpoint
+
+
+def _ref_hits(edges, iterations, scale):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        araw = {n: 0 for n in nodes}
+        for u, v in edges:
+            araw[v] += hub[u]
+        amax = max(max(araw.values()), 1) if araw else 1
+        amax = amax if amax > 0 else 1
+        auth = {n: araw[n] * scale // amax for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for u, v in edges:
+            hraw[u] += auth[v]
+        hmax = max(max(hraw.values()), 1) if hraw else 1
+        hmax = hmax if hmax > 0 else 1
+        hub = {n: hraw[n] * scale // hmax for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_reference_recurrence(spark):
+    import hashlib
+
+    edges = [(1, 2), (1, 3), (3, 2), (4, 2), (2, 5), (5, 5)]
+    for i in range(40):
+        h = int.from_bytes(hashlib.md5(f"h{i}".encode()).digest()[:8], "big")
+        edges.append((h % 13, (h // 13) % 17))
+    edges = [(a, b) for a, b in edges]
+    expect = _ref_hits(edges, iterations=4, scale=1_000_000)
+    out = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_fixedpoint(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=4
+        ).collect()
+    }
+    assert out == expect
+
+
+def test_hits_sink_and_source_extremes(spark):
+    # 1,2,3 all point at 4; 4 points nowhere. 4 is the pure authority
+    # (auth = scale), the others pure hubs (hub = scale, auth 0).
+    e = _edges(spark, [(1, 4), (2, 4), (3, 4)])
+    out = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_fixedpoint(e, iterations=3, scale=1000).collect()
+    }
+    assert out[4] == (0, 1000)
+    for n in (1, 2, 3):
+        assert out[n] == (1000, 0)
