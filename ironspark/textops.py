@@ -482,6 +482,7 @@ def near_dup_clusters(
     bands: int = 4,
     k: int = 3,
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     LSH pair graph; every clustered doc gets cluster_id = the minimum
@@ -497,13 +498,29 @@ def near_dup_clusters(
     2-4 rounds in practice. At 10^10 docs swap the propagation body
     for the large-star/small-star contraction [Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond"], which bounds
-    rounds at O(log^2 n) with the same join shape; the driver loop and
-    convergence test are identical.
+    rounds at O(log^2 n) with the same join shape; pass
+    algorithm="star" to run exactly that swap (graph.connected_components,
+    this repo's large-star/small-star) — identical labels by
+    construction (both emit min-doc_id-reachable), pinned by a parity
+    test, and the plug-in proof that the documented 10^10 path is real
+    code, not a comment.
     """
     pairs = jaccard_pairs(documents, lsh_candidate_pairs(documents, bands, k))
     pairs = (
         pairs.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
     )
+    if algorithm == "star":
+        from ironspark.graph import connected_components
+
+        return connected_components(
+            pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            max_rounds=max_iter,
+        ).select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -457,3 +457,38 @@ def test_repetition_signals_semantics(spark):
     # top coverage = 4 * len("buy now") / len(text) = 28/31
     r3 = out[3]
     assert r3["top_ngram_char_frac"] == round(28 / 31, 6)
+
+
+def test_near_dup_clusters_star_parity(spark):
+    """algorithm='star' (large-star/small-star via
+    graph.connected_components) must label identically to min-label
+    propagation — the documented 10^10-doc swap, proven as a plug-in."""
+    import pandas as pd
+
+    from ironspark.textops import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " two"),
+        (10, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (11, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (99, "completely different words about spark clusters and parquet"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, threshold=0.5, bands=4).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(
+            docs, threshold=0.5, bands=4, algorithm="star"
+        ).collect()
+    }
+    assert star == prop
+    assert star[1] == 1 and star[10] == 10
