@@ -1324,6 +1324,18 @@ def _g_components(spark, sf):
     return connected_components(blocks.unionByName(bridges))
 
 
+def _t_incr_dedup(spark, sf):
+    # snapshot split: every 3rd doc is the "new crawl", the rest the
+    # existing corpus — ids disjoint by construction
+    from ironspark.textops import incremental_near_dup
+
+    d = _t(spark, sf, "documents")
+    return incremental_near_dup(
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
 def _g_hits(spark, sf):
     from ironspark.graph import hits_fixedpoint
 
@@ -1339,13 +1351,13 @@ def _t_bpe_tokens(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
-    # entries per round while this dict holds 82 — so the FRONT of the
+    # entries per round while this dict holds 83 — so the FRONT of the
     # dict is the round-6 attestation window: the 22 entries whose last
     # driver row was r4 (they sat past r5's window edge; all 22 were
     # gate-green in the r5 review), then the seven new round-6 entries
     # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames,
     # t_bpe_merges, c_url_templates, g_anchor_topk, g_components,
-    # t_bpe_tokens, g_hits), then the 50
+    # t_bpe_tokens, g_hits, t_incr_dedup), then the 50
     # entries driver-attested in CORRECTNESS_r05.json. Every entry
     # therefore keeps a driver-green row within the last two rounds.
     # Every entry stays shipped and green under scripts/driver_gate.py;
@@ -1385,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": _g_components,
         "t_bpe_tokens": _t_bpe_tokens,
         "g_hits": _g_hits,
+        "t_incr_dedup": _t_incr_dedup,
         # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
         "m9_scheduler_depth": _m9_scheduler_depth,
         "i1_routing_counts": _i1_routing_counts,
@@ -2042,6 +2055,34 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_merges": _bpe_oracle_sql(num_merges=6),
         "t_bpe_tokens": _bpe_tokens_oracle_sql(num_merges=6),
         "g_hits": _hits_oracle_sql(iterations=4),
+        "t_incr_dedup": (
+            # cross-snapshot dedup: signatures are per-doc, so sig over
+            # ALL docs then split mirrors signing each side separately;
+            # corpus-side bucket guard (<= 50, no lower bound — a
+            # 1-doc corpus bucket is a valid probe target), candidate
+            # equi-join, Jaccard verify, best-match window
+            "WITH " + _SIG_CTE + ", " + _WORDS_CTE + ", "
+            "sign AS (SELECT * FROM sig WHERE doc_id % 3 = 0), "
+            "sigo AS (SELECT * FROM sig WHERE doc_id % 3 <> 0), "
+            "smallo AS (SELECT band, minhash FROM sigo "
+            "GROUP BY band, minhash HAVING COUNT(*) <= 50), "
+            "sigof AS (SELECT sigo.* FROM sigo JOIN smallo USING (band, minhash)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM sign a JOIN sigof b USING (band, minhash)), "
+            "wd AS (SELECT DISTINCT doc_id, word FROM w), "
+            "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter FROM cand p "
+            "JOIN wd wa ON wa.doc_id = p.doc_a JOIN wd wb ON wb.doc_id = p.doc_b "
+            "AND wb.word = wa.word GROUP BY p.doc_a, p.doc_b), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM wd GROUP BY doc_id), "
+            "ver AS (SELECT i.doc_a, i.doc_b, "
+            "ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) AS jaccard "
+            "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "JOIN sizes sb ON sb.doc_id = i.doc_b), "
+            "best AS (SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) "
+            "AS rn FROM ver WHERE jaccard >= 0.5) "
+            "SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1"
+        ),
         "g_components": (
             # min-node-reachable via recursive transitive closure over
             # the symmetric edge view — component sizes are planted

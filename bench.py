@@ -56,7 +56,7 @@ QUERY_NAMES = [
     # round 6 additions (grow "total" by their medians vs r5)
     "mm_jpeg", "t_langid_script", "mm_gif_bmp", "mm_gif_frames",
     "t_bpe_merges", "c_url_templates", "g_anchor_topk",
-    "g_components", "t_bpe_tokens", "g_hits",
+    "g_components", "t_bpe_tokens", "g_hits", "t_incr_dedup",
 ]
 
 

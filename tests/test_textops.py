@@ -492,3 +492,101 @@ def test_near_dup_clusters_star_parity(spark):
     }
     assert star == prop
     assert star[1] == 1 and star[10] == 10
+
+
+def test_incremental_near_dup_matches_reference(spark):
+    """Cross-snapshot dedup vs an independent pure-Python pipeline
+    (same md5 minhash family, banding, corpus-side bucket guard, exact
+    word-set Jaccard, best-match tie-break)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ironspark.textops import incremental_near_dup
+
+    P = 2147483647
+    BANDS, K, THRESH, MAXB = 4, 3, 0.5, 2
+
+    def shingle_set(text):
+        ws = [w for w in text.lower().split() if w]
+        return {" ".join(ws[i : i + K]) for i in range(max(len(ws) - K + 1, 0))}
+
+    def signature(text):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+            for s in shingle_set(text)
+        ]
+        if not hs:
+            return {}
+        return {
+            b: min(((1000003 + 2 * b) * h + 12345 + b) % P for h in hs)
+            for b in range(BANDS)
+        }
+
+    def word_set(text):
+        return {w for w in text.lower().split() if w}
+
+    base = "the quick brown fox jumps over the lazy dog today again"
+    boiler = "subscribe to our newsletter for daily updates and offers now"
+    old = {
+        100: base,
+        101: "completely unrelated corpus text about parquet shuffles",
+        102: boiler,
+        103: boiler,
+        104: boiler,  # 3-doc boilerplate bucket > MAXB -> guarded out
+    }
+    new = {
+        0: base,                                    # exact dup of 100
+        3: base.replace("today", "tomorrow"),       # near dup of 100
+        6: "fresh document with entirely new words",  # clean
+        9: boiler,                                  # hits only guarded buckets
+    }
+
+    # reference pipeline
+    from collections import Counter
+
+    osig = {i: signature(t) for i, t in old.items()}
+    bucket_count = Counter()
+    for i, sg in osig.items():
+        for b, mh in sg.items():
+            bucket_count[(b, mh)] += 1
+    kept = {k for k, n in bucket_count.items() if n <= MAXB}
+    cands = set()
+    for ni, nt in new.items():
+        for b, mh in signature(nt).items():
+            if (b, mh) in kept:
+                for oi, sg in osig.items():
+                    if sg.get(b) == mh:
+                        cands.add((ni, oi))
+    expect = {}
+    for ni, oi in sorted(cands):
+        wa, wb = word_set(new[ni]), word_set(old[oi])
+        j = round(len(wa & wb) / len(wa | wb), 6)
+        if j >= THRESH:
+            cur = expect.get(ni)
+            if cur is None or (j, -oi) > (cur[1], -cur[0]):
+                expect[ni] = (oi, j)
+
+    new_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(new), "text": list(new.values())}
+        ),
+        "doc_id long, text string",
+    )
+    old_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(old), "text": list(old.values())}
+        ),
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in incremental_near_dup(
+            new_df, old_df, bands=BANDS, k=K, threshold=THRESH,
+            max_bucket=MAXB,
+        ).collect()
+    }
+    assert got == expect
+    assert got[0] == (100, 1.0)       # exact dup found
+    assert 6 not in got               # clean doc untouched
+    assert 9 not in got               # boilerplate bucket guarded out
