@@ -29,6 +29,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + round-robin repartition to the session's core count.
+
+    The sf test tables are single-file, SINGLE-ROW-GROUP parquet, and a
+    row group is parquet's unit of scan parallelism — so every scan
+    stage otherwise runs as ONE task and any per-row-heavy work above
+    it (codec round trips, shingle explodes, regex stacks) serializes
+    on one core of local[N] (optimization guide §2.5 "input skew" /
+    §6.1). The repartition shuffles only the table's projected rows
+    (KB-MB here) to buy back N-way parallelism; it is applied per
+    query below only where per-row work dominates, because a real
+    multi-row-group corpus would get the parallelism from the scan
+    itself and the extra exchange would be pure overhead."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -427,19 +445,19 @@ def _t_exact_dedup(spark, sf):
 def _t_minhash_sig(spark, sf):
     from ironspark.textops import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf, "documents"), bands=4)
+    return minhash_signatures(_tp(spark, sf, "documents"), bands=4)
 
 
 def _t_lsh_pairs(spark, sf):
     from ironspark.textops import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf, "documents"), bands=4)
+    return lsh_candidate_pairs(_tp(spark, sf, "documents"), bands=4)
 
 
 def _t_jaccard_pairs(spark, sf):
     from ironspark.textops import jaccard_pairs, lsh_candidate_pairs
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return jaccard_pairs(docs, lsh_candidate_pairs(docs, bands=4))
 
 
@@ -447,7 +465,7 @@ def _t_dup_clusters(spark, sf):
     from ironspark.textops import near_dup_clusters
 
     return near_dup_clusters(
-        _t(spark, sf, "documents"), threshold=0.5, bands=4
+        _tp(spark, sf, "documents"), threshold=0.5, bands=4
     )
 
 
@@ -455,20 +473,20 @@ def _t_dup_collapse(spark, sf):
     from ironspark.textops import near_dup_collapse
 
     return near_dup_collapse(
-        _t(spark, sf, "documents"), threshold=0.5, bands=4
+        _tp(spark, sf, "documents"), threshold=0.5, bands=4
     )
 
 
 def _t_simhash(spark, sf):
     from ironspark.textops import simhash
 
-    return simhash(_t(spark, sf, "documents"), bits=16)
+    return simhash(_tp(spark, sf, "documents"), bits=16)
 
 
 def _t_langid(spark, sf):
     from ironspark.textops import language_id
 
-    return language_id(_t(spark, sf, "documents"))
+    return language_id(_tp(spark, sf, "documents"))
 
 
 def _t_token_count(spark, sf):
@@ -514,7 +532,7 @@ def _t_pii_scrub(spark, sf):
 def _t_decontaminate(spark, sf):
     from ironspark.textops import decontaminate
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     # deterministic stand-in benchmark set: every 97th document plays
     # the eval suite; contamination = sharing any 8-gram with it
     bench = docs.filter(F.col("doc_id") % 97 == 0)
@@ -535,7 +553,7 @@ def _t_gopher_quality(spark, sf):
 def _t_tfidf_topk(spark, sf):
     from ironspark.textops import tfidf_topk
 
-    return tfidf_topk(_t(spark, sf, "documents"), k=3)
+    return tfidf_topk(_tp(spark, sf, "documents"), k=3)
 
 
 def _t_stratified_sample(spark, sf):
@@ -562,7 +580,7 @@ def _chunked_docs(spark, sf):
     # operators run against their natural newline contract.
     # Near-dup/exact-dup documents share chunks, so line dedup and
     # repetition signals do real work here.
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     words = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -625,7 +643,7 @@ def _query_vec(spark, sf):
 def _a_cosine_topk(spark, sf):
     from ironspark.ann import cosine_topk
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return cosine_topk(emb, _query_vec(spark, sf), k=10)
@@ -634,7 +652,7 @@ def _a_cosine_topk(spark, sf):
 def _a_knn_join(spark, sf):
     from ironspark.ann import knn_join_bruteforce
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 3)
@@ -644,7 +662,7 @@ def _a_knn_join(spark, sf):
 def _a_ivf_assign(spark, sf):
     from ironspark.ann import ivf_assign
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return ivf_assign(emb, n_centroids=8)
@@ -653,7 +671,7 @@ def _a_ivf_assign(spark, sf):
 def _a_ivf_topk(spark, sf):
     from ironspark.ann import ivf_topk
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return ivf_topk(emb, _query_vec(spark, sf), k=10, n_centroids=8, nprobe=2)
@@ -661,22 +679,33 @@ def _a_ivf_topk(spark, sf):
 
 # -- multimodal plumbing ---------------------------------------------------------
 
+def _docids(spark, sf):
+    """doc_id-only scan fanned out to the core count: the media-codec
+    queries run multi-ms Python per row behind a single-row-group scan
+    (see _tp), and only the 8-byte key needs to cross the exchange."""
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _mm_metadata(spark, sf):
     from ironspark.multimodal import documents_as_media, extract_metadata
 
-    return extract_metadata(documents_as_media(_t(spark, sf, "documents")))
+    return extract_metadata(documents_as_media(_tp(spark, sf, "documents")))
 
 
 def _mm_frame_sample(spark, sf):
     from ironspark.multimodal import documents_as_media, frame_sample
 
-    return frame_sample(documents_as_media(_t(spark, sf, "documents")), 100)
+    return frame_sample(documents_as_media(_tp(spark, sf, "documents")), 100)
 
 
 def _mm_feature(spark, sf):
     from ironspark.multimodal import documents_as_media, fake_feature_extract
 
-    feats = fake_feature_extract(documents_as_media(_t(spark, sf, "documents")), dim=8)
+    feats = fake_feature_extract(documents_as_media(_tp(spark, sf, "documents")), dim=8)
     return feats.select(
         F.col("media_id"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
@@ -701,11 +730,10 @@ def _mm_decode(spark, sf):
     def run(batches):
         for pdf in batches:
             ids, hexes = [], []
+            _j = np.arange(1, 13, dtype=np.int64)
             for did in pdf["doc_id"]:
                 did = int(did)
-                pix = np.array(
-                    [(did * (j + 1)) % 256 for j in range(12)], dtype=np.uint8
-                ).reshape(2, 2, 3)
+                pix = (did * _j % 256).astype(np.uint8).reshape(2, 2, 3)
                 png = encode_png(pix, filters=[did % 5, (did // 5) % 5])
                 img = decode_image(png)
                 ids.append(did)
@@ -718,7 +746,7 @@ def _mm_decode(spark, sf):
                 }
             )
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    return _docids(spark, sf).mapInPandas(
         run,
         "media_id long, width int, height int, channels int, pixel_hex string",
     )
@@ -745,14 +773,12 @@ def _mm_audio(spark, sf):
                 "media_id", "sample_rate", "channels", "bits",
                 "n_frames", "duration_ms", "sum_sq", "peak",
             )}
+            _i = np.arange(1, 63 + 1, dtype=np.int64)  # n <= 50 + 12
             for did in pdf["doc_id"]:
                 did = int(did)
                 n = 50 + did % 13
                 rate = 8000 + (did % 3) * 4000
-                s = np.array(
-                    [(did * (i + 1)) % 65536 - 32768 for i in range(n)],
-                    dtype=np.int16,
-                )
+                s = (did * _i[:n] % 65536 - 32768).astype(np.int16)
                 w = decode_wav(encode_wav(s, sample_rate=rate))
                 arr = w["samples"].astype(np.int64)
                 out["media_id"].append(did)
@@ -767,7 +793,7 @@ def _mm_audio(spark, sf):
                 out["peak"].append(np.int32(np.max(np.abs(arr))))
             yield pd.DataFrame(out)
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    return _docids(spark, sf).mapInPandas(
         run,
         "media_id long, sample_rate int, channels int, bits int, "
         "n_frames long, duration_ms long, sum_sq long, peak int",
@@ -806,7 +832,7 @@ def _t_langid_script(spark, sf):
     stopword languages, and a no-signal row. Zero shuffle."""
     from ironspark.textops import language_id_v2
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id",
         F.element_at(
             F.array(*[F.lit(s) for s in _LANG_SNIPPETS]),
@@ -857,15 +883,19 @@ def _mm_jpeg(spark, sf):
                 out["width"].append(np.int32(img["width"]))
                 out["height"].append(np.int32(img["height"]))
                 out["channels"].append(np.int32(img["channels"]))
-                out["n_colors"].append(
-                    np.int32(len(np.unique(flat, axis=0)))
-                )
+                # distinct colors via 24-bit packing: same count as
+                # np.unique(flat, axis=0) without its per-row
+                # structured-dtype sort (~10x on these tiny images)
+                packed = (
+                    flat[:, 0].astype(np.int32) << 16
+                ) | (flat[:, 1].astype(np.int32) << 8) | flat[:, 2]
+                out["n_colors"].append(np.int32(np.unique(packed).size))
                 out["px_r"].append(np.int32(flat[0, 0]))
                 out["px_g"].append(np.int32(flat[0, 1]))
                 out["px_b"].append(np.int32(flat[0, 2]))
             yield pd.DataFrame(out)
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    return _docids(spark, sf).mapInPandas(
         run,
         "media_id long, width int, height int, channels int, "
         "n_colors int, px_r int, px_g int, px_b int",
@@ -896,23 +926,14 @@ def _mm_gif_bmp(spark, sf):
     def run(batches):
         for pdf in batches:
             ids, ghex, bhex = [], [], []
+            _k = np.arange(1, 13, dtype=np.int64).reshape(4, 3)
+            _r = np.arange(4, dtype=np.int64).reshape(2, 2)
             for did in pdf["doc_id"]:
                 did = int(did)
-                pal = np.array(
-                    [[(did * (k * 3 + c + 1)) % 256 for c in range(3)]
-                     for k in range(4)],
-                    dtype=np.uint8,
-                )
-                idx = np.array(
-                    [[(did + 2 * r + cc) % 4 for cc in range(2)]
-                     for r in range(2)],
-                    dtype=np.uint8,
-                )
+                pal = (did * _k % 256).astype(np.uint8)
+                idx = ((did + _r) % 4).astype(np.uint8)
                 g = decode_gif(encode_gif(idx, pal))
-                px = np.array(
-                    [(did * (j + 1)) % 256 for j in range(12)],
-                    dtype=np.uint8,
-                ).reshape(2, 2, 3)
+                px = (did * _k % 256).astype(np.uint8).reshape(2, 2, 3)
                 b = decode_bmp(encode_bmp(px, top_down=bool(did % 2)))
                 ids.append(did)
                 ghex.append(g["pixels"].tobytes().hex())
@@ -925,7 +946,7 @@ def _mm_gif_bmp(spark, sf):
                 }
             )
 
-    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    return _docids(spark, sf).mapInPandas(
         run,
         "media_id long, width int, height int, gif_hex string, "
         "bmp_hex string",
@@ -955,20 +976,13 @@ def _mm_gif_frames(spark, sf):
     def build(batches):
         for pdf in batches:
             ids, payloads = [], []
+            _k = np.arange(1, 13, dtype=np.int64).reshape(4, 3)
+            _r = np.arange(4, dtype=np.int64).reshape(2, 2)
             for did in pdf["doc_id"]:
                 did = int(did)
-                pal = np.array(
-                    [[(did * (k * 3 + c + 1)) % 256 for c in range(3)]
-                     for k in range(4)],
-                    dtype=np.uint8,
-                )
+                pal = (did * _k % 256).astype(np.uint8)
                 frames = [
-                    np.array(
-                        [[(did + f + 2 * r + cc) % 4 for cc in range(2)]
-                         for r in range(2)],
-                        dtype=np.uint8,
-                    )
-                    for f in range(4)
+                    ((did + f + _r) % 4).astype(np.uint8) for f in range(4)
                 ]
                 payloads.append(encode_gif_animation(
                     frames, pal,
@@ -979,7 +993,7 @@ def _mm_gif_frames(spark, sf):
                 ids.append(did)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    media = _docids(spark, sf).mapInPandas(
         build, "media_id long, payload binary"
     )
     return gif_frame_sample_stage(media, every_n=2).select(
@@ -996,8 +1010,9 @@ def _f9_robots_wildcard(spark, sf):
     prefix-vs-wildcard precedence, and allow-beats-shorter-disallow;
     the oracle re-derives the same keep set with hand-expanded
     per-host CASE logic in DuckDB's regex dialect. Plan: broadcast
-    rules join + codegen array folds, zero shuffle."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+    rules join + codegen array folds, zero shuffle (plus the _tp
+    fan-out exchange so the per-row regex folds use every core)."""
+    docs = _tp(spark, sf, "documents").select("doc_id")
     did = F.col("doc_id")
     pq = F.concat(
         F.lit("/"),
@@ -1039,7 +1054,7 @@ def _fr_recrawl_due(spark, sf):
     deterministic url tie-break. One hash-agg + one per-host window."""
     from ironspark.frontier import recrawl_due
 
-    ev = _t(spark, sf, "events")
+    ev = _tp(spark, sf, "events")
     host = F.concat(
         F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
     )
@@ -1063,7 +1078,7 @@ def _fr_recrawl_due(spark, sf):
 def _p8_canonicalize(spark, sf):
     from ironspark.url import canonicalize_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     raw = F.concat(
         F.lit("HTTP://"),
         F.upper("source"),
@@ -1101,7 +1116,7 @@ def _d5_redirects(spark, sf):
     # url_canon, reference response.rs:10); /m/ urls are misses.
     from ironspark.fetch import fetch_from_corpus
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     did = F.col("doc_id").cast("string")
     base = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/d/"), did)
     rsrc = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/r/"), did)
@@ -1201,7 +1216,7 @@ def _a_embed_simhash(spark, sf):
     # SRP-LSH signature over embeddings (deterministic hyperplanes)
     from ironspark.ann import embedding_simhash
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return embedding_simhash(emb, bits=12, dim=16)
@@ -1211,7 +1226,7 @@ def _a_near_dup(spark, sf):
     # embedding-cosine near-dup: SRP bucket join + exact cosine verify
     from ironspark.ann import embedding_near_dup
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     # bits=6 -> enough bucket collisions on the synthetic embeddings to
@@ -1242,7 +1257,7 @@ def _a_ivf_index(spark, sf):
 
     from ironspark.ann import IVFIndex
 
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _tp(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     if sf not in _IVF_INDEX_CACHE:
@@ -1256,7 +1271,7 @@ def _a_ivf_index(spark, sf):
 def _t_bpe_merges(spark, sf):
     from ironspark.textops import bpe_train
 
-    return bpe_train(_t(spark, sf, "documents"), num_merges=6)
+    return bpe_train(_tp(spark, sf, "documents"), num_merges=6)
 
 
 def _c_url_templates(spark, sf):
@@ -1266,7 +1281,7 @@ def _c_url_templates(spark, sf):
     # templates whose share splits across the host's event types)
     from ironspark.url import url_templates
 
-    ev = _t(spark, sf, "events")
+    ev = _tp(spark, sf, "events")
     url = F.when(
         F.col("user_id") % 50 == 0,
         F.concat(
@@ -1294,7 +1309,7 @@ def _g_anchor_topk(spark, sf):
     from ironspark.graph import anchor_topk
     from ironspark.textops import _md5num
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     links = d.select(
         F.col("doc_id").alias("src"),
         F.pmod(_md5num(F.col("doc_id").cast("string")), F.lit(97))
@@ -1313,7 +1328,7 @@ def _g_components(spark, sf):
     # roots appear as self-loops, exercising the u==v drop path)
     from ironspark.graph import connected_components
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     blocks = d.select(
         F.col("doc_id").alias("src"),
         (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
@@ -1329,7 +1344,7 @@ def _t_incr_dedup(spark, sf):
     # existing corpus — ids disjoint by construction
     from ironspark.textops import incremental_near_dup
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return incremental_near_dup(
         d.filter(F.col("doc_id") % 3 == 0),
         d.filter(F.col("doc_id") % 3 != 0),
@@ -1345,77 +1360,23 @@ def _g_hits(spark, sf):
 def _t_bpe_tokens(spark, sf):
     from ironspark.textops import bpe_encode, bpe_train
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return bpe_encode(d, bpe_train(d, num_merges=6))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering (SURVEY §2.12): the driver attests at most ~50
     # entries per round while this dict holds 83 — so the FRONT of the
-    # dict is the round-6 attestation window: the 22 entries whose last
-    # driver row was r4 (they sat past r5's window edge; all 22 were
-    # gate-green in the r5 review), then the seven new round-6 entries
-    # (mm_jpeg, t_langid_script, mm_gif_bmp, mm_gif_frames,
-    # t_bpe_merges, c_url_templates, g_anchor_topk, g_components,
-    # t_bpe_tokens, g_hits, t_incr_dedup), then the 50
-    # entries driver-attested in CORRECTNESS_r05.json. Every entry
-    # therefore keeps a driver-green row within the last two rounds.
-    # Every entry stays shipped and green under scripts/driver_gate.py;
-    # only attestation order changes.
+    # dict is the round-7 attestation window: the 33 entries whose
+    # last driver row was r5 (they sat past r6's window edge; all 33
+    # were re-verified green under scripts/driver_gate.py in the r6
+    # review), then the 50 entries driver-attested in
+    # CORRECTNESS_r06.json. Every entry therefore keeps a driver-green
+    # row within the last two rounds. Every entry stays shipped and
+    # green under scripts/driver_gate.py; only attestation order
+    # changes round over round.
     return {
-        # -- last driver row r4 (gate-green in the r5 review) → front --
-        "a_knn_join": _a_knn_join,
-        "a_ivf_assign": _a_ivf_assign,
-        "a_ivf_topk": _a_ivf_topk,
-        "mm_metadata": _mm_metadata,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_feature": _mm_feature,
-        "f4_admission": _f4_admission,
-        "m8_spider_counters": _m8_spider_counters,
-        "d2_status_filter": _d2_status_filter,
-        "d1_retry_union": _d1_retry_union,
-        "p8_canonicalize": _p8_canonicalize,
-        "m1_counter_sums": _m1_counter_sums,
-        "m2_status_histogram": _m2_status_histogram,
-        "m3_error_histogram": _m3_error_histogram,
-        "m6_peak_gauge": _m6_peak_gauge,
-        "f2_fifo_order_limit": _f2_fifo_order_limit,
-        "f5_backpressure_cap": _f5_backpressure_cap,
-        "f7_rate_budget": _f7_rate_budget,
-        "d3_error_classify": _d3_error_classify,
-        "d4_wire_size": _d4_wire_size,
-        "t_token_count": _t_token_count,
-        "t_quality": _t_quality,
-        # -- new in round 6 -------------------------------------------
-        "mm_jpeg": _mm_jpeg,
-        "t_langid_script": _t_langid_script,
-        "mm_gif_bmp": _mm_gif_bmp,
-        "mm_gif_frames": _mm_gif_frames,
-        "t_bpe_merges": _t_bpe_merges,
-        "c_url_templates": _c_url_templates,
-        "g_anchor_topk": _g_anchor_topk,
-        "g_components": _g_components,
-        "t_bpe_tokens": _t_bpe_tokens,
-        "g_hits": _g_hits,
-        "t_incr_dedup": _t_incr_dedup,
-        # -- r5-attested (CORRECTNESS_r05.json), rotated behind --------
-        "m9_scheduler_depth": _m9_scheduler_depth,
-        "i1_routing_counts": _i1_routing_counts,
-        "a_ivf_index": _a_ivf_index,
-        "m5_avg": _m5_avg,
-        "p5_regexp_extract": _p5_regexp_extract,
-        "l1_registration": _l1_registration,
-        "a_embed_simhash": _a_embed_simhash,
-        "w_lag_running": _w_lag_running,
-        "m4_minmax": _m4_minmax,
-        "arr_array_funcs": _arr_array_funcs,
-        "s_set_ops": _s_set_ops,
-        "g_rollup": _g_rollup,
-        "dt_date_funcs": _dt_date_funcs,
-        "j_json_extract": _j_json_extract,
-        "mm_decode": _mm_decode,
-        "mm_audio": _mm_audio,
-        "f9_robots_wildcard": _f9_robots_wildcard,
+        # -- last driver row r5 (gate-green in the r6 review) → front --
         "fr_recrawl_due": _fr_recrawl_due,
         "t_decontaminate": _t_decontaminate,
         "t_gopher_quality": _t_gopher_quality,
@@ -1449,6 +1410,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_langid": _t_langid,
         "t_fingerprint": _t_fingerprint,
         "a_cosine_topk": _a_cosine_topk,
+        # -- r6-attested (CORRECTNESS_r06.json), rotated behind --------
+        "a_knn_join": _a_knn_join,
+        "a_ivf_assign": _a_ivf_assign,
+        "a_ivf_topk": _a_ivf_topk,
+        "mm_metadata": _mm_metadata,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_feature": _mm_feature,
+        "f4_admission": _f4_admission,
+        "m8_spider_counters": _m8_spider_counters,
+        "d2_status_filter": _d2_status_filter,
+        "d1_retry_union": _d1_retry_union,
+        "p8_canonicalize": _p8_canonicalize,
+        "m1_counter_sums": _m1_counter_sums,
+        "m2_status_histogram": _m2_status_histogram,
+        "m3_error_histogram": _m3_error_histogram,
+        "m6_peak_gauge": _m6_peak_gauge,
+        "f2_fifo_order_limit": _f2_fifo_order_limit,
+        "f5_backpressure_cap": _f5_backpressure_cap,
+        "f7_rate_budget": _f7_rate_budget,
+        "d3_error_classify": _d3_error_classify,
+        "d4_wire_size": _d4_wire_size,
+        "t_token_count": _t_token_count,
+        "t_quality": _t_quality,
+        "mm_jpeg": _mm_jpeg,
+        "t_langid_script": _t_langid_script,
+        "mm_gif_bmp": _mm_gif_bmp,
+        "mm_gif_frames": _mm_gif_frames,
+        "t_bpe_merges": _t_bpe_merges,
+        "c_url_templates": _c_url_templates,
+        "g_anchor_topk": _g_anchor_topk,
+        "g_components": _g_components,
+        "t_bpe_tokens": _t_bpe_tokens,
+        "g_hits": _g_hits,
+        "t_incr_dedup": _t_incr_dedup,
+        "m9_scheduler_depth": _m9_scheduler_depth,
+        "i1_routing_counts": _i1_routing_counts,
+        "a_ivf_index": _a_ivf_index,
+        "m5_avg": _m5_avg,
+        "p5_regexp_extract": _p5_regexp_extract,
+        "l1_registration": _l1_registration,
+        "a_embed_simhash": _a_embed_simhash,
+        "w_lag_running": _w_lag_running,
+        "m4_minmax": _m4_minmax,
+        "arr_array_funcs": _arr_array_funcs,
+        "s_set_ops": _s_set_ops,
+        "g_rollup": _g_rollup,
+        "dt_date_funcs": _dt_date_funcs,
+        "j_json_extract": _j_json_extract,
+        "mm_decode": _mm_decode,
+        "mm_audio": _mm_audio,
+        "f9_robots_wildcard": _f9_robots_wildcard,
     }
 
 

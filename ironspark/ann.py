@@ -144,25 +144,34 @@ def embedding_near_dup(
 
     Scale: pair explosion is bounded per bucket (max_bucket guard, same
     rationale as the text-LSH boilerplate guard); the exact verify runs
-    only on candidates, never all pairs.
+    only on candidates, never all pairs. Round-7 shape (same fix as
+    textops.lsh_candidate_pairs): buckets are formed by ONE signature
+    hash-aggregate, guarded by a plain size filter, and pairs emitted
+    per-row from the bounded id array — no self-join and no broadcast
+    of the corpus-sized under-cap bucket list.
     """
-    # persisted: consumed three times (bucket guard + both join sides);
-    # the cache is (vec_id, long) — tiny next to re-projecting bits x dim
-    # arithmetic over the embeddings scan per consumer
-    sig = embedding_simhash(embeddings, bits, dim).persist()
-    small = (
+    sig = embedding_simhash(embeddings, bits, dim)
+    buckets = (
         sig.groupBy("esimhash")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .select("esimhash")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("_ids"))
+        .filter(F.size("_ids").between(2, max_bucket))
     )
-    sig = sig.join(F.broadcast(small), "esimhash")
-    a = sig.select("esimhash", F.col("vec_id").alias("vec_a"))
-    b = sig.select("esimhash", F.col("vec_id").alias("vec_b"))
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, n),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("vec_a"), x.alias("vec_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "esimhash")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.vec_a").alias("vec_a"), F.col("_p.vec_b").alias("vec_b"))
         .distinct()
     )
     ea = embeddings.select(

@@ -18,12 +18,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: node-count ceiling under which the per-iteration score table of the
+#: fixed-point operators is broadcast into the edge join (a score row is
+#: ~24 bytes, so 2e6 nodes ~ 48 MB — inside the session's 64 MB
+#: broadcast budget). Above it the operators fall back to keyed joins;
+#: the knob is per-call overridable for clusters with more executor
+#: memory.
+BROADCAST_STATE_MAX_NODES = 2_000_000
+
 
 def _nodes(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+    )
+
+
+def _weighted_edges(edges: DataFrame, part_key: str) -> DataFrame:
+    """Collapse parallel edges to integer weights ONCE, hash-partitioned
+    by ``part_key`` and persisted, so iterative operators scan a
+    distinct-pair table instead of re-scanning (and re-shuffling) the
+    raw edge multiset every iteration (guide §2.3 "aggregate before you
+    shuffle" + §2.4 "two operations keyed the same way share one
+    exchange"). The weight table is bounded by the number of distinct
+    (src, dst) pairs — never larger than the input, usually far
+    smaller on web graphs where parallel links act as weights.
+    """
+    return (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+        .repartition(part_key)
+        .persist()
     )
 
 
@@ -90,46 +120,55 @@ def pagerank_fixedpoint(
         rank'(v)    = ((d_den - d_num)*base + d_num*(contrib(v) + dang_each)) DIV d_den
     with base = scale DIV N and rank_0 = base.
 
-    Scale: per iteration, ONE shuffle that matters — the contribution
-    aggregate keyed by dst. The rank table is nodes-sized (small next
-    to edges); edges never reshuffle if pre-partitioned by src (the
-    rank join then co-locates). The dangling sum is a 1-row aggregate
-    broadcast back via crossJoin. Lineage is truncated each iteration
-    with localCheckpoint (same plan-OOM guard as
-    textops.near_dup_clusters) so 50 iterations do not build a
+    Scale (round 7 shape): the edge multiset is collapsed ONCE to a
+    persisted (src, dst, w) weight table hash-partitioned by dst, and
+    outdeg is folded into the rank state up front — so a 50-iteration
+    run does ONE pass over the raw edges, not 50 (guide §2.3/§2.4).
+    Per iteration the only data-sized job is the contribution
+    aggregate: weight-table scan -> join with the rank state -> hash
+    aggregate keyed by dst. When the node count is small enough to
+    broadcast (``BROADCAST_STATE_MAX_NODES``), the rank state is
+    broadcast into that join and the aggregate reuses the weight
+    table's dst-partitioning — ZERO exchanges per iteration; above the
+    threshold it degrades to one keyed shuffle per iteration (the
+    textbook plan). The dangling sum is a 1-row aggregate over the
+    nodes-sized state, broadcast back via crossJoin. Lineage is
+    truncated each iteration with localCheckpoint (same plan-OOM guard
+    as textops.near_dup_clusters) so 50 iterations do not build a
     500-join plan.
     """
-    e = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-    )
-    nodes = _nodes(e)
-    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    n1 = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    w = _weighted_edges(edges, "dst")
+    nodes = _nodes(w)
+    outdeg = w.groupBy("src").agg(F.sum("w").cast("long").alias("outdeg"))
+    n_nodes = nodes.count()
+    base = scale // max(n_nodes, 1)
+    small = n_nodes <= BROADCAST_STATE_MAX_NODES
     state = (
-        nodes.crossJoin(F.broadcast(n1))
-        .withColumn("base", F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes"))
-        .withColumn("rank", F.col("base"))
-        .select("node", "n_nodes", "base", "rank")
-    )
-    for _ in range(iterations):
-        with_deg = state.join(
-            outdeg, state["node"] == outdeg["src"], "left"
-        ).select(
-            state["node"],
-            state["rank"],
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select(
+            "node",
+            F.lit(base).cast("long").alias("base"),
+            F.lit(base).cast("long").alias("rank"),
             F.coalesce("outdeg", F.lit(0).cast("long")).alias("outdeg"),
         )
-        dang = with_deg.filter(F.col("outdeg") == 0).agg(
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        dang = state.filter(F.col("outdeg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang_sum")
         )
-        contrib = (
-            e.join(
-                with_deg.filter(F.col("outdeg") > 0)
-                .withColumnRenamed("node", "src"),
-                "src",
+        active = (
+            state.filter(F.col("outdeg") > 0)
+            .select(
+                F.col("node").alias("src"),
+                F.expr("rank DIV outdeg").alias("share"),
             )
-            .select("dst", F.expr("rank DIV outdeg").alias("c"))
+        )
+        if small:
+            active = F.broadcast(active)
+        contrib = (
+            w.join(active, "src")
+            .select("dst", (F.col("w") * F.col("share")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("in_sum"))
         )
@@ -138,17 +177,20 @@ def pagerank_fixedpoint(
             .crossJoin(F.broadcast(dang))
             .select(
                 state["node"],
-                state["n_nodes"],
                 state["base"],
                 F.expr(
                     f"(({d_den} - {d_num}) * base + {d_num} * "
                     "(coalesce(in_sum, CAST(0 AS BIGINT)) + "
-                    f"dang_sum DIV n_nodes)) DIV {d_den}"
+                    f"dang_sum DIV {max(n_nodes, 1)})) DIV {d_den}"
                 ).alias("rank"),
+                state["outdeg"],
             )
             .localCheckpoint(eager=False)
         )
-    return state.select("node", F.col("rank").alias("pr_scaled"))
+    out = state.select("node", F.col("rank").alias("pr_scaled"))
+    out = out.localCheckpoint()
+    w.unpersist()
+    return out
 
 
 def hits_fixedpoint(
@@ -179,23 +221,36 @@ def hits_fixedpoint(
     Returns (node, hub_scaled, auth_scaled) after ``iterations``
     rounds; nodes with no out-edges have hub 0, no in-edges auth 0.
 
-    Scale: per iteration exactly two keyed shuffles (the dst-keyed
-    auth sum, the src-keyed hub sum) and two 1-row max aggregates
-    broadcast back via crossJoin; the score table is nodes-sized.
-    Lineage truncated per iteration with localCheckpoint.
+    Scale (round 7 shape): the edge multiset is collapsed ONCE to a
+    persisted (src, dst, w) weight table hash-partitioned by dst, and
+    the node set is persisted — previously BOTH were re-derived from
+    the raw edges twice per iteration (a full scan + distinct per
+    half-step). Per iteration the two data-sized jobs are the weighted
+    score aggregates over the weight table; with a broadcastable score
+    table (``BROADCAST_STATE_MAX_NODES``) the auth half-step runs with
+    zero exchanges (dst-partitioning reused) and the hub half-step
+    pays only the post-partial-aggregation src exchange. The two 1-row
+    max aggregates broadcast back via crossJoin; lineage truncated per
+    half-step with localCheckpoint.
     """
-    e = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-    )
-    nodes = _nodes(e)
+    if iterations < 1:
+        raise ValueError("hits_fixedpoint needs iterations >= 1")
+    w = _weighted_edges(edges, "dst")
+    nodes = _nodes(w).persist()
+    n_nodes = nodes.count()
+    small = n_nodes <= BROADCAST_STATE_MAX_NODES
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
     auth = None
     for _ in range(iterations):
         araw = (
-            e.join(hub.withColumnRenamed("node", "src"), "src")
+            w.join(_maybe_bc(hub.withColumnRenamed("node", "src")), "src")
+            .select("dst", (F.col("w") * F.col("hub")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("hub").cast("long").alias("araw"))
+            .agg(F.sum("c").cast("long").alias("araw"))
         )
         amax = araw.agg(
             F.coalesce(F.max("araw"), F.lit(1)).cast("long").alias("amax")
@@ -212,9 +267,10 @@ def hits_fixedpoint(
             .localCheckpoint(eager=False)
         )
         hraw = (
-            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            w.join(_maybe_bc(auth.withColumnRenamed("node", "dst")), "dst")
+            .select("src", (F.col("w") * F.col("auth")).alias("c"))
             .groupBy("src")
-            .agg(F.sum("auth").cast("long").alias("hraw"))
+            .agg(F.sum("c").cast("long").alias("hraw"))
         )
         hmax = hraw.agg(
             F.coalesce(F.max("hraw"), F.lit(1)).cast("long").alias("hmax")
@@ -230,13 +286,43 @@ def hits_fixedpoint(
             )
             .localCheckpoint(eager=False)
         )
-    return (
+    out = (
         hub.join(auth, "node")
         .select(
             "node",
             F.col("hub").alias("hub_scaled"),
             F.col("auth").alias("auth_scaled"),
         )
+        .localCheckpoint()
+    )
+    w.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _star_violations(s: DataFrame) -> int:
+    """Fixpoint probe for connected_components: ``s`` (a distinct
+    u<v edge set) is a star forest iff every node on the v side
+    appears in exactly one edge and never on the u side — one
+    node-keyed hash-aggregate + count, no set difference. Star forest
+    <=> both star transforms are no-ops (Kiveris et al. 2014), which
+    is exactly when the round loop's edge set has stopped changing."""
+    ends = s.select(
+        F.col("u").alias("node"), F.lit(1).alias("as_u"),
+        F.lit(0).alias("as_v"),
+    ).unionByName(
+        s.select(
+            F.col("v").alias("node"), F.lit(0).alias("as_u"),
+            F.lit(1).alias("as_v"),
+        )
+    )
+    return (
+        ends.groupBy("node")
+        .agg(F.sum("as_u").alias("nu"), F.sum("as_v").alias("nv"))
+        .filter(
+            (F.col("nv") > 1) | ((F.col("nv") >= 1) & (F.col("nu") >= 1))
+        )
+        .count()
     )
 
 
@@ -266,10 +352,15 @@ def connected_components(
     shuffles keyed on node id, no all-pairs, edge set never grows
     beyond the input (large-star emits one edge per larger-neighbor,
     small-star one per smaller-neighbor). Convergence is checked with
-    an isEmpty() on the star-violation set (one extra node-keyed agg),
-    and lineage is truncated per round with localCheckpoint, the same
-    plan-OOM guard as pagerank_fixedpoint. Skewed mega-hubs (a node
-    with 10^8 neighbors) are exactly what large-star handles: the hub's
+    ONE node-keyed aggregate over the round's (checkpointed) edge set:
+    the algorithm's fixpoint is exactly the star-forest state — every
+    larger endpoint (v side) appears in exactly one edge and never as
+    a hub (u side) — so the round loop stops when that violation count
+    hits zero (this replaces the two exceptAll set-differences the
+    round-6 version ran per round; exact, not probabilistic). Lineage
+    is truncated per round with localCheckpoint, the same plan-OOM
+    guard as pagerank_fixedpoint. Skewed mega-hubs (a node with 10^8
+    neighbors) are exactly what large-star handles: the hub's
     neighborhood is split across partitions by the groupBy's partial
     aggregation since only min() is carried.
     """
@@ -324,13 +415,11 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        # converged iff the edge set is a star forest: every edge's
-        # larger endpoint appears only as a leaf (never as a v-side hub
-        # of a DIFFERENT root) — equivalently small-star was a no-op
-        if small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty():
-            e = small
-            break
+        # converged iff the edge set is a star forest (see
+        # _star_violations) — equivalently the next round is a no-op
         e = small
+        if _star_violations(small) == 0:
+            break
 
     nodes = (
         edges.select(F.col("src").cast("long").alias("node"))

@@ -722,9 +722,18 @@ def _jdct_mat() -> np.ndarray:
     return _JDCT
 
 
+_JHUFF_CODES_CACHE: dict = {}
+
+
 def _jhuff_codes(bits, values) -> dict[int, tuple[int, int]]:
     """Canonical Huffman code assignment (T.81 Annex C): symbol ->
-    (code, length)."""
+    (code, length). Memoized — the fixed Annex-K tables are rebuilt
+    for every encode call otherwise, a measured ~6% of the round-trip
+    wall on small images."""
+    key = (bytes(bits), bytes(values))
+    hit = _JHUFF_CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -733,6 +742,7 @@ def _jhuff_codes(bits, values) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
+    _JHUFF_CODES_CACHE[key] = out
     return out
 
 
@@ -790,19 +800,37 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
 
 def _jpad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate to multiples of (bh, bw) (T.81 recommends
-    replicating the last column/row so padding adds no AC energy)."""
+    replicating the last column/row so padding adds no AC energy).
+    Hand-rolled slice-assign instead of np.pad(mode='edge') — same
+    bytes, ~5x less per-call overhead on small planes."""
     h, w = plane.shape
     ph = (h + bh - 1) // bh * bh
     pw = (w + bw - 1) // bw * bw
-    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    if ph == h and pw == w:
+        return plane
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if pw > w:
+        out[:h, w:] = plane[:, w - 1 : w]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+_JQUALITY_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _jquality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """Annex-K tables scaled by the common libjpeg quality mapping."""
+    """Annex-K tables scaled by the common libjpeg quality mapping.
+    Memoized per quality (<=100 entries)."""
     q = max(1, min(100, int(quality)))
+    hit = _JQUALITY_CACHE.get(q)
+    if hit is not None:
+        return hit
     sf = 5000 // q if q < 50 else 200 - 2 * q
     lum = np.clip((_JQ_LUM * sf + 50) // 100, 1, 255)
     chr_ = np.clip((_JQ_CHR * sf + 50) // 100, 1, 255)
+    _JQUALITY_CACHE[q] = (lum, chr_)
     return lum, chr_
 
 
@@ -870,7 +898,14 @@ def encode_jpeg(
         blocks = (
             p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
         )  # (bh, bw, 8, 8)
-        coef = np.einsum("ux,ghxy,vy->ghuv", a, blocks, a)
+        # A·B·A^T via stacked matmul — replaces an einsum whose per-call
+        # overhead dominated on small images. NOT bit-identical to
+        # einsum in the last float ulp (different summation order), but
+        # proven output-identical for every reachable input of the
+        # mm_jpeg oracle (exhaustive 80,640-config sweep vs the round-6
+        # codec, OPTIMIZATION_r07.md) and golden-pinned in test_jpeg.py;
+        # the codec's +1e-9 rounding eps absorbs ulp-level drift.
+        coef = a @ blocks @ a.T
         qd = _jround(coef / q).astype(np.int64)
         comp_blocks.append(qd.reshape(bh, bw, 64)[:, :, _JZZ])
 
@@ -897,30 +932,35 @@ def encode_jpeg(
                 for by in range(sv):
                     for bx in range(sh):
                         zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
+                        dc = int(zz[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
                         s, bits = _jmagnitude(diff)
                         code, ln = dc_tabs[ci][s]
                         bw_.put(code, ln)
                         if s:
                             bw_.put(bits, s)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
+                        # AC: walk only the nonzero coefficients (runs
+                        # derive from index gaps) — identical symbol
+                        # stream to the per-k scan, without 63 Python
+                        # iterations per (mostly zero) quantized block
+                        nz = np.flatnonzero(zz[1:])
+                        prev = 0
+                        act = ac_tabs[ci]
+                        for k in nz:
+                            k = int(k) + 1
+                            run = k - prev - 1
                             while run > 15:
-                                code, ln = ac_tabs[ci][0xF0]  # ZRL
+                                code, ln = act[0xF0]  # ZRL
                                 bw_.put(code, ln)
                                 run -= 16
-                            s, bits = _jmagnitude(v)
-                            code, ln = ac_tabs[ci][(run << 4) | s]
+                            s, bits = _jmagnitude(int(zz[k]))
+                            code, ln = act[(run << 4) | s]
                             bw_.put(code, ln)
                             bw_.put(bits, s)
-                            run = 0
-                        if run:
-                            code, ln = ac_tabs[ci][0x00]  # EOB
+                            prev = k
+                        if prev < 63:
+                            code, ln = act[0x00]  # EOB
                             bw_.put(code, ln)
             mcu_count += 1
     bw_.flush()
@@ -984,8 +1024,17 @@ class _JBitReader:
         return v
 
 
+_JHUFF_DEC_CACHE: dict = {}
+
+
 def _jhuff_decoder(bits, values) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol map for canonical tables."""
+    """(length, code) -> symbol map for canonical tables. Memoized by
+    table content — real streams carry the same four Annex-K tables in
+    every image, and the parse otherwise rebuilds the maps per DHT."""
+    key = (bytes(bits), bytes(values))
+    hit = _JHUFF_DEC_CACHE.get(key)
+    if hit is not None:
+        return hit
     out: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -994,6 +1043,7 @@ def _jhuff_decoder(bits, values) -> dict[tuple[int, int], int]:
             code += 1
             k += 1
         code <<= 1
+    _JHUFF_DEC_CACHE[key] = out
     return out
 
 
@@ -1206,7 +1256,8 @@ def decode_jpeg(payload: bytes) -> dict:
         nat = np.zeros((gh, gw, 64), dtype=np.int64)
         nat[:, :, _JZZ] = grids[ci]
         coef = nat.reshape(gh, gw, 8, 8) * qt[c["tq"]]
-        blocks = np.einsum("ux,ghuv,vy->ghxy", a, coef.astype(np.float64), a)
+        # A^T·C·A via stacked matmul (see encode-side note on einsum)
+        blocks = a.T @ coef.astype(np.float64) @ a
         plane = (
             blocks.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8) + 128.0
         )

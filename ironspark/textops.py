@@ -144,32 +144,42 @@ def lsh_candidate_pairs(
     Scale: pair explosion is quadratic per bucket, so buckets larger
     than max_bucket are dropped — the standard boilerplate guard (a
     bucket holding thousands of docs is template noise, not near-dup
-    signal, and its pairs would dominate the join). The bucket-size
-    filter is one extra hash aggregation, broadcast back.
+    signal, and its pairs would dominate the join).
+
+    Round-7 shape (VERDICT r6 #1): the round-6 version force-broadcast
+    the UNDER-cap bucket-key list — at corpus scale that is nearly
+    every bucket, i.e. an O(corpus/bands) driver-built broadcast that
+    OOMs long before 10^10 docs. Now the buckets are formed directly:
+    ONE hash-aggregate collects each (band, minhash) bucket's doc ids
+    (per-bucket state bounded by the guard applied right after), the
+    guard is a plain size filter on the aggregated row, and pairs are
+    emitted by per-row array arithmetic — no self-join, no broadcast
+    of anything corpus-sized, and per-bucket memory is bounded by
+    max_bucket ids. The only shuffles are the bucket aggregate and the
+    cross-band pair distinct.
     """
-    # persist the signatures: they are consumed THREE times (bucket-size
-    # guard + both self-join branches) and each scan would otherwise
-    # re-run the dominant shingle explode over the full corpus. The
-    # cached table is docs x bands rows — tiny next to its input (at
-    # 100 TB you would write it out, like the persisted IVF index).
-    sig = minhash_signatures(documents, bands, k).persist()
-    small = (
+    sig = minhash_signatures(documents, bands, k)
+    buckets = (
         sig.groupBy("band", "minhash")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .select("band", "minhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size("_ids").between(2, max_bucket))
     )
-    sig = sig.join(F.broadcast(small), ["band", "minhash"])
-    a = sig.select(
-        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_a")
-    )
-    b = sig.select(
-        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_b")
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, n),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("doc_a"), x.alias("doc_b")
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "minhash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -177,9 +187,24 @@ def lsh_candidate_pairs(
 def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs (LSH verify step).
 
-    The distinct word set feeds THREE consumers (both pair sides + the
-    doc-size agg) — persisted so the words explode runs once."""
-    w = _words(documents).distinct().persist()
+    Round-7 shape: verification only ever touches documents that
+    APPEAR in a candidate pair, so the corpus is semi-joined down to
+    that participant set BEFORE the words explode — the round-6
+    version exploded (and distinct-shuffled) the words of the ENTIRE
+    corpus just to read sizes for the usually-sparse candidate docs.
+    The participant id set is data-dependent; AQE broadcasts the
+    semi-join side when it fits, else it is a keyed shuffle — either
+    way the dominant explode now runs over candidates only. The
+    distinct word set still feeds three consumers (both pair sides +
+    the doc-size agg), so it is persisted for the duration of the
+    call and released once the verified pairs are materialized."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    relevant = documents.select("doc_id", "text").join(ids, "doc_id", "left_semi")
+    w = _words(relevant).distinct().persist()
     wa = w.select(F.col("doc_id").alias("doc_a"), "word")
     wb = w.select(F.col("doc_id").alias("doc_b"), "word")
     inter = (
@@ -189,7 +214,7 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "nb"), "doc_b")
         .withColumn(
@@ -199,7 +224,12 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
             ),
         )
         .select("doc_a", "doc_b", "jaccard")
+        # pair-sized by construction; materializing here lets the word
+        # cache be released instead of leaking across calls (r6 ADVICE)
+        .localCheckpoint()
     )
+    w.unpersist()
+    return out
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
@@ -505,6 +535,10 @@ def near_dup_clusters(
     test, and the plug-in proof that the documented 10^10 path is real
     code, not a comment.
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} (use 'propagation' or 'star')"
+        )
     pairs = jaccard_pairs(documents, lsh_candidate_pairs(documents, bands, k))
     pairs = (
         pairs.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
@@ -1010,7 +1044,11 @@ def repetition_signals(
     )
 
 
-def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
+def bpe_train(
+    documents: DataFrame,
+    num_merges: int = 8,
+    driver_max_vocab: int = 20_000_000,
+) -> DataFrame:
     """Distributed BPE merge learning: the tokenizer-training step of an
     LLM data pipeline, run corpus-side.
 
@@ -1040,17 +1078,22 @@ def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
 
     Scale: the corpus touch is ONE word-count aggregation (map-side
     combine; the 100 TB input reduces to a vocabulary-sized table,
-    ~1e8 rows at web scale). Each merge round is one pair-count
-    hash-aggregate over that vocabulary table plus a single-ROW argmax
+    ~1e8 rows at web scale). The merge loop itself needs only that
+    word-frequency table, so when the vocabulary fits on the driver
+    (``driver_max_vocab`` rows — it always does in practice: ~1e8 rows
+    is the web-scale ceiling and each row is one short word + a count)
+    the table is collected ONCE and every merge round runs driver-side
+    in plain Python with bit-identical semantics (same padded-string
+    replace, same (count desc, lft, rgt) tie-break; parity-pinned in
+    tests/test_bpe.py) — 30k merges are then 30k in-memory passes
+    instead of 30k Spark jobs (VERDICT r6 #5). Above the ceiling each
+    merge round falls back to the distributed shape: one pair-count
+    hash-aggregate over the vocabulary table plus a single-ROW argmax
     collect — the algorithm's inherent sync point, same shape as
-    PageRank's dangling-mass fold. The evolving symbol table is
-    localCheckpoint-ed per round to truncate the replace-chain lineage.
-    Real tokenizers run 30k+ merges; at that K you run exactly this
-    loop on the (small) collected vocabulary driver-side — the
-    distributed win is the corpus -> word-frequency reduction, which
-    this keeps as the only full-data pass. BMP-only symbol split
-    (astral chars would split surrogate pairs; fine for web text test
-    corpora and documented here).
+    PageRank's dangling-mass fold — with the evolving symbol table
+    localCheckpoint-ed per round to truncate the replace-chain
+    lineage. BMP-only symbol split (astral chars would split surrogate
+    pairs; fine for web text test corpora and documented here).
     """
     spark = documents.sparkSession
     words = (
@@ -1061,6 +1104,75 @@ def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
     )
+    merges = _bpe_merge_rounds(words, num_merges, driver_max_vocab)
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("merge_rank", IntegerType()),
+            StructField("lft", StringType()),
+            StructField("rgt", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    rows = [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges]
+    return spark.createDataFrame(rows, schema)
+
+
+def _bpe_merges_driver(
+    vocab: list, num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge loop over a collected (word, freq) list —
+    the exact recurrence of the distributed loop on the exact padded
+    double-space string representation (so ``str.replace``'s greedy
+    left-to-right non-overlapping scan IS the distributed
+    ``F.replace``). Same argmax tie-break: (count desc, lft asc,
+    rgt asc)."""
+    cur = [
+        (" " + "  ".join(word) + " ", freq) for word, freq in vocab
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, freq in cur:
+            syms = s.strip().split("  ")
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lft, rgt, cnt))
+        old, new = f" {lft}  {rgt} ", f" {lft}{rgt} "
+        cur = [(s.replace(old, new), freq) for s, freq in cur]
+    return merges
+
+
+def _bpe_merge_rounds(
+    words: DataFrame, num_merges: int, driver_max_vocab: int
+) -> list[tuple[int, str, str, int]]:
+    """Run the BPE merge rounds over a (word, freq) table: driver-side
+    when the vocabulary fits (see bpe_train docstring), distributed
+    otherwise. Returns [(rank, lft, rgt, count), ...]."""
+    words = words.persist()  # one corpus pass serves count + collect
+    try:
+        n_vocab = words.count()
+        if n_vocab <= driver_max_vocab:
+            vocab = [(r["word"], r["freq"]) for r in words.collect()]
+            return _bpe_merges_driver(vocab, num_merges)
+    finally:
+        words.unpersist()
+
     cur = words.select(
         F.concat(
             F.lit(" "),
@@ -1105,26 +1217,7 @@ def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
         cur.unpersist()
         cur = nxt
     cur.unpersist()
-
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    schema = StructType(
-        [
-            StructField("merge_rank", IntegerType()),
-            StructField("lft", StringType()),
-            StructField("rgt", StringType()),
-            StructField("merged", StringType()),
-            StructField("pair_count", LongType()),
-        ]
-    )
-    rows = [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges]
-    return spark.createDataFrame(rows, schema)
+    return merges
 
 
 def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
@@ -1192,6 +1285,38 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
     )
 
 
+def _incr_candidates(
+    sig_new: DataFrame, sig_old: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for incremental_near_dup: bucket
+    equi-join of the new snapshot's signatures against the corpus
+    signatures, with the boilerplate guard INVERTED from round 6
+    (VERDICT r6 #1) — the over-cap buckets are the RARE side at corpus
+    scale (big buckets are template noise), so broadcast THAT tiny key
+    list and drop its members with an anti-join; the round-6 version
+    broadcast the under-cap list, which is nearly every bucket, i.e.
+    an O(corpus/bands) driver-built broadcast. Plan-asserted in
+    tests/test_round7_fixes.py."""
+    big = (
+        sig_old.groupBy("band", "minhash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band", "minhash")
+    )
+    sig_old_kept = sig_old.join(
+        F.broadcast(big), ["band", "minhash"], "left_anti"
+    )
+    return (
+        sig_new.withColumnRenamed("doc_id", "doc_a")
+        .join(
+            sig_old_kept.withColumnRenamed("doc_id", "doc_b"),
+            ["band", "minhash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -1229,22 +1354,14 @@ def incremental_near_dup(
 
     sig_new = minhash_signatures(new_docs, bands, k)
     sig_old = minhash_signatures(corpus_docs, bands, k).persist()
-    small = (
-        sig_old.groupBy("band", "minhash")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "minhash")
-    )
-    sig_old_kept = sig_old.join(F.broadcast(small), ["band", "minhash"])
     cand = (
-        sig_new.withColumnRenamed("doc_id", "doc_a")
-        .join(
-            sig_old_kept.withColumnRenamed("doc_id", "doc_b"),
-            ["band", "minhash"],
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+        _incr_candidates(sig_new, sig_old, max_bucket)
+        # candidate-pair-sized; materializing here releases the corpus
+        # signature cache instead of leaking it across per-snapshot
+        # calls (r6 ADVICE #3)
+        .localCheckpoint()
     )
+    sig_old.unpersist()
     both = new_docs.select("doc_id", "text").unionByName(
         corpus_docs.select("doc_id", "text")
     )
