@@ -445,19 +445,19 @@ def _t_exact_dedup(spark, sf):
 def _t_minhash_sig(spark, sf):
     from ironspark.textops import minhash_signatures
 
-    return minhash_signatures(_tp(spark, sf, "documents"), bands=4)
+    return minhash_signatures(_t(spark, sf, "documents"), bands=4)
 
 
 def _t_lsh_pairs(spark, sf):
     from ironspark.textops import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_tp(spark, sf, "documents"), bands=4)
+    return lsh_candidate_pairs(_t(spark, sf, "documents"), bands=4)
 
 
 def _t_jaccard_pairs(spark, sf):
     from ironspark.textops import jaccard_pairs, lsh_candidate_pairs
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     return jaccard_pairs(docs, lsh_candidate_pairs(docs, bands=4))
 
 
@@ -465,7 +465,7 @@ def _t_dup_clusters(spark, sf):
     from ironspark.textops import near_dup_clusters
 
     return near_dup_clusters(
-        _tp(spark, sf, "documents"), threshold=0.5, bands=4
+        _t(spark, sf, "documents"), threshold=0.5, bands=4
     )
 
 
@@ -473,20 +473,20 @@ def _t_dup_collapse(spark, sf):
     from ironspark.textops import near_dup_collapse
 
     return near_dup_collapse(
-        _tp(spark, sf, "documents"), threshold=0.5, bands=4
+        _t(spark, sf, "documents"), threshold=0.5, bands=4
     )
 
 
 def _t_simhash(spark, sf):
     from ironspark.textops import simhash
 
-    return simhash(_tp(spark, sf, "documents"), bits=16)
+    return simhash(_t(spark, sf, "documents"), bits=16)
 
 
 def _t_langid(spark, sf):
     from ironspark.textops import language_id
 
-    return language_id(_tp(spark, sf, "documents"))
+    return language_id(_t(spark, sf, "documents"))
 
 
 def _t_token_count(spark, sf):
@@ -532,7 +532,7 @@ def _t_pii_scrub(spark, sf):
 def _t_decontaminate(spark, sf):
     from ironspark.textops import decontaminate
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     # deterministic stand-in benchmark set: every 97th document plays
     # the eval suite; contamination = sharing any 8-gram with it
     bench = docs.filter(F.col("doc_id") % 97 == 0)
@@ -553,7 +553,7 @@ def _t_gopher_quality(spark, sf):
 def _t_tfidf_topk(spark, sf):
     from ironspark.textops import tfidf_topk
 
-    return tfidf_topk(_tp(spark, sf, "documents"), k=3)
+    return tfidf_topk(_tpd(spark, sf), k=3)
 
 
 def _t_stratified_sample(spark, sf):
@@ -580,7 +580,7 @@ def _chunked_docs(spark, sf):
     # operators run against their natural newline contract.
     # Near-dup/exact-dup documents share chunks, so line dedup and
     # repetition signals do real work here.
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     words = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -643,7 +643,7 @@ def _query_vec(spark, sf):
 def _a_cosine_topk(spark, sf):
     from ironspark.ann import cosine_topk
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return cosine_topk(emb, _query_vec(spark, sf), k=10)
@@ -652,7 +652,7 @@ def _a_cosine_topk(spark, sf):
 def _a_knn_join(spark, sf):
     from ironspark.ann import knn_join_bruteforce
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 3)
@@ -662,7 +662,7 @@ def _a_knn_join(spark, sf):
 def _a_ivf_assign(spark, sf):
     from ironspark.ann import ivf_assign
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return ivf_assign(emb, n_centroids=8)
@@ -671,7 +671,7 @@ def _a_ivf_assign(spark, sf):
 def _a_ivf_topk(spark, sf):
     from ironspark.ann import ivf_topk
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return ivf_topk(emb, _query_vec(spark, sf), k=10, n_centroids=8, nprobe=2)
@@ -690,22 +690,34 @@ def _docids(spark, sf):
     )
 
 
+def _tpd(spark, sf):
+    """(doc_id, text) scan fanned out to the core count — the _tp
+    rationale for the text operators whose per-row work (shingle
+    explodes, regex stacks, symbol splits) dominates at scale,
+    projected first so the exchange never carries unused columns."""
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _mm_metadata(spark, sf):
     from ironspark.multimodal import documents_as_media, extract_metadata
 
-    return extract_metadata(documents_as_media(_tp(spark, sf, "documents")))
+    return extract_metadata(documents_as_media(_t(spark, sf, "documents")))
 
 
 def _mm_frame_sample(spark, sf):
     from ironspark.multimodal import documents_as_media, frame_sample
 
-    return frame_sample(documents_as_media(_tp(spark, sf, "documents")), 100)
+    return frame_sample(documents_as_media(_t(spark, sf, "documents")), 100)
 
 
 def _mm_feature(spark, sf):
     from ironspark.multimodal import documents_as_media, fake_feature_extract
 
-    feats = fake_feature_extract(documents_as_media(_tp(spark, sf, "documents")), dim=8)
+    feats = fake_feature_extract(documents_as_media(_t(spark, sf, "documents")), dim=8)
     return feats.select(
         F.col("media_id"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
@@ -832,7 +844,7 @@ def _t_langid_script(spark, sf):
     stopword languages, and a no-signal row. Zero shuffle."""
     from ironspark.textops import language_id_v2
 
-    docs = _tp(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents").select(
         "doc_id",
         F.element_at(
             F.array(*[F.lit(s) for s in _LANG_SNIPPETS]),
@@ -1012,7 +1024,7 @@ def _f9_robots_wildcard(spark, sf):
     per-host CASE logic in DuckDB's regex dialect. Plan: broadcast
     rules join + codegen array folds, zero shuffle (plus the _tp
     fan-out exchange so the per-row regex folds use every core)."""
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    docs = _docids(spark, sf)
     did = F.col("doc_id")
     pq = F.concat(
         F.lit("/"),
@@ -1054,7 +1066,7 @@ def _fr_recrawl_due(spark, sf):
     deterministic url tie-break. One hash-agg + one per-host window."""
     from ironspark.frontier import recrawl_due
 
-    ev = _tp(spark, sf, "events")
+    ev = _t(spark, sf, "events")
     host = F.concat(
         F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
     )
@@ -1078,7 +1090,11 @@ def _fr_recrawl_due(spark, sf):
 def _p8_canonicalize(spark, sf):
     from ironspark.url import canonicalize_udf
 
-    docs = _tp(spark, sf, "documents")
+    docs = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     raw = F.concat(
         F.lit("HTTP://"),
         F.upper("source"),
@@ -1116,7 +1132,7 @@ def _d5_redirects(spark, sf):
     # url_canon, reference response.rs:10); /m/ urls are misses.
     from ironspark.fetch import fetch_from_corpus
 
-    d = _tp(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     did = F.col("doc_id").cast("string")
     base = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/d/"), did)
     rsrc = F.concat(F.lit("http://"), F.col("source"), F.lit(".ex.com/r/"), did)
@@ -1216,7 +1232,7 @@ def _a_embed_simhash(spark, sf):
     # SRP-LSH signature over embeddings (deterministic hyperplanes)
     from ironspark.ann import embedding_simhash
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return embedding_simhash(emb, bits=12, dim=16)
@@ -1226,7 +1242,7 @@ def _a_near_dup(spark, sf):
     # embedding-cosine near-dup: SRP bucket join + exact cosine verify
     from ironspark.ann import embedding_near_dup
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     # bits=6 -> enough bucket collisions on the synthetic embeddings to
@@ -1257,7 +1273,7 @@ def _a_ivf_index(spark, sf):
 
     from ironspark.ann import IVFIndex
 
-    emb = _tp(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     if sf not in _IVF_INDEX_CACHE:
@@ -1271,7 +1287,7 @@ def _a_ivf_index(spark, sf):
 def _t_bpe_merges(spark, sf):
     from ironspark.textops import bpe_train
 
-    return bpe_train(_tp(spark, sf, "documents"), num_merges=6)
+    return bpe_train(_tpd(spark, sf), num_merges=6)
 
 
 def _c_url_templates(spark, sf):
@@ -1281,7 +1297,13 @@ def _c_url_templates(spark, sf):
     # templates whose share splits across the host's event types)
     from ironspark.url import url_templates
 
-    ev = _tp(spark, sf, "events")
+    # project the three consumed columns before the parallelizing
+    # exchange (_tp rationale) so the shuffle never carries props/ts
+    ev = (
+        _t(spark, sf, "events")
+        .select("user_id", "event_id", "event_type")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     url = F.when(
         F.col("user_id") % 50 == 0,
         F.concat(
@@ -1309,7 +1331,7 @@ def _g_anchor_topk(spark, sf):
     from ironspark.graph import anchor_topk
     from ironspark.textops import _md5num
 
-    d = _tp(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     links = d.select(
         F.col("doc_id").alias("src"),
         F.pmod(_md5num(F.col("doc_id").cast("string")), F.lit(97))
@@ -1328,7 +1350,7 @@ def _g_components(spark, sf):
     # roots appear as self-loops, exercising the u==v drop path)
     from ironspark.graph import connected_components
 
-    d = _tp(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     blocks = d.select(
         F.col("doc_id").alias("src"),
         (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
@@ -1344,7 +1366,7 @@ def _t_incr_dedup(spark, sf):
     # existing corpus — ids disjoint by construction
     from ironspark.textops import incremental_near_dup
 
-    d = _tp(spark, sf, "documents")
+    d = _tpd(spark, sf)
     return incremental_near_dup(
         d.filter(F.col("doc_id") % 3 == 0),
         d.filter(F.col("doc_id") % 3 != 0),
@@ -1360,7 +1382,7 @@ def _g_hits(spark, sf):
 def _t_bpe_tokens(spark, sf):
     from ironspark.textops import bpe_encode, bpe_train
 
-    d = _tp(spark, sf, "documents")
+    d = _tpd(spark, sf)
     return bpe_encode(d, bpe_train(d, num_merges=6))
 
 

@@ -146,40 +146,39 @@ def lsh_candidate_pairs(
     bucket holding thousands of docs is template noise, not near-dup
     signal, and its pairs would dominate the join).
 
-    Round-7 shape (VERDICT r6 #1): the round-6 version force-broadcast
-    the UNDER-cap bucket-key list — at corpus scale that is nearly
+    Round-7 change (VERDICT r6 #1): the round-6 version FORCE-broadcast
+    the under-cap bucket-key list — at corpus scale that is nearly
     every bucket, i.e. an O(corpus/bands) driver-built broadcast that
-    OOMs long before 10^10 docs. Now the buckets are formed directly:
-    ONE hash-aggregate collects each (band, minhash) bucket's doc ids
-    (per-bucket state bounded by the guard applied right after), the
-    guard is a plain size filter on the aggregated row, and pairs are
-    emitted by per-row array arithmetic — no self-join, no broadcast
-    of anything corpus-sized, and per-bucket memory is bounded by
-    max_bucket ids. The only shuffles are the bucket aggregate and the
-    cross-band pair distinct.
+    OOMs long before 10^10 docs. The hint is gone: AQE broadcasts the
+    key list at runtime when it actually fits and falls back to a keyed
+    shuffle join when it is corpus-sized — same result, no driver-sized
+    failure mode (hint absence is plan-asserted in
+    tests/test_round7_fixes.py). For the pure-aggregate alternative
+    with zero joins, see ann.embedding_near_dup's bucket-array shape.
     """
-    sig = minhash_signatures(documents, bands, k)
-    buckets = (
+    # persist the signatures: they are consumed THREE times (bucket-size
+    # guard + both self-join branches) and each scan would otherwise
+    # re-run the dominant shingle explode over the full corpus. The
+    # cached table is docs x bands rows — tiny next to its input (at
+    # 100 TB you would write it out, like the persisted IVF index).
+    sig = minhash_signatures(documents, bands, k).persist()
+    small = (
         sig.groupBy("band", "minhash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
-        .filter(F.size("_ids").between(2, max_bucket))
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("band", "minhash")
     )
-    ids = F.col("_ids")
-    n = F.size(ids)
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, n),
-                lambda x: F.struct(
-                    F.element_at(ids, i).alias("doc_a"), x.alias("doc_b")
-                ),
-            ),
-        )
+    sig = sig.join(small, ["band", "minhash"])
+    a = sig.select(
+        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_a")
+    )
+    b = sig.select(
+        F.col("band"), F.col("minhash"), F.col("doc_id").alias("doc_b")
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("_p"))
-        .select(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -194,10 +193,16 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     corpus just to read sizes for the usually-sparse candidate docs.
     The participant id set is data-dependent; AQE broadcasts the
     semi-join side when it fits, else it is a keyed shuffle — either
-    way the dominant explode now runs over candidates only. The
-    distinct word set still feeds three consumers (both pair sides +
-    the doc-size agg), so it is persisted for the duration of the
-    call and released once the verified pairs are materialized."""
+    way the dominant explode now runs over candidates only. The pair
+    set feeds the participant restriction AND the intersection join,
+    and the distinct word set feeds three consumers (both pair sides +
+    the doc-size agg) — both are persisted so the candidate pipeline
+    and the words explode each run once per action. The caches are
+    operator-lifetime (LRU-evictable); eagerly materializing to
+    release them was measured at 2-4x the whole operator wall at bench
+    scale, so the r6 ADVICE #3 unpersist is deliberately NOT done —
+    rationale in OPTIMIZATION_r07.md."""
+    pairs = pairs.persist()
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -214,7 +219,7 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "nb"), "doc_b")
         .withColumn(
@@ -224,12 +229,7 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
             ),
         )
         .select("doc_a", "doc_b", "jaccard")
-        # pair-sized by construction; materializing here lets the word
-        # cache be released instead of leaking across calls (r6 ADVICE)
-        .localCheckpoint()
     )
-    w.unpersist()
-    return out
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
@@ -1353,15 +1353,12 @@ def incremental_near_dup(
     from pyspark.sql import Window
 
     sig_new = minhash_signatures(new_docs, bands, k)
+    # sig_old feeds the bucket guard AND the candidate join — persisted
+    # so the corpus shingle explode runs once per action (cache is
+    # operator-lifetime, LRU-evictable; see jaccard_pairs on why the
+    # r6 ADVICE #3 eager-unpersist is deliberately not done)
     sig_old = minhash_signatures(corpus_docs, bands, k).persist()
-    cand = (
-        _incr_candidates(sig_new, sig_old, max_bucket)
-        # candidate-pair-sized; materializing here releases the corpus
-        # signature cache instead of leaking it across per-snapshot
-        # calls (r6 ADVICE #3)
-        .localCheckpoint()
-    )
-    sig_old.unpersist()
+    cand = _incr_candidates(sig_new, sig_old, max_bucket)
     both = new_docs.select("doc_id", "text").unionByName(
         corpus_docs.select("doc_id", "text")
     )
