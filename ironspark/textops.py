@@ -193,11 +193,23 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     corpus just to read sizes for the usually-sparse candidate docs.
     The participant id set is data-dependent; AQE broadcasts the
     semi-join side when it fits, else it is a keyed shuffle — either
-    way the dominant explode now runs over candidates only. The pair
-    set feeds the participant restriction AND the intersection join,
-    and the distinct word set feeds three consumers (both pair sides +
-    the doc-size agg) — both are persisted so the candidate pipeline
-    and the words explode each run once per action. The caches are
+    way the words explode runs over candidates only.
+
+    The intersection itself (round 7) is computed per pair with
+    ``array_intersect`` over per-doc word-SET arrays instead of the
+    round-6 word-level join: that join materialized |pairs| x
+    |words-per-doc| intermediate rows (26M rows for 1.1M candidate
+    pairs on the sf1.0 table — measured 7.1 s of the operator's 10 s),
+    while the array form shuffles only the pairs and two copies of the
+    docset table and evaluates the intersection inside codegen. A
+    doc's word-set array is bounded by the document length, so the row
+    is bounded at any corpus scale. Emits exactly the round-6 rows:
+    pairs whose word sets actually intersect (n_inter >= 1), same
+    jaccard arithmetic to the same 6 decimals.
+
+    The pair set feeds the participant restriction AND the verify
+    join, and the docset table feeds both pair sides — both persisted
+    so each is computed once per action. The caches are
     operator-lifetime (LRU-evictable); eagerly materializing to
     release them was measured at 2-4x the whole operator wall at bench
     scale, so the r6 ADVICE #3 unpersist is deliberately NOT done —
@@ -209,25 +221,27 @@ def jaccard_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
     )
     relevant = documents.select("doc_id", "text").join(ids, "doc_id", "left_semi")
-    w = _words(relevant).distinct().persist()
-    wa = w.select(F.col("doc_id").alias("doc_a"), "word")
-    wb = w.select(F.col("doc_id").alias("doc_b"), "word")
-    inter = (
-        pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    docsets = (
+        _words(relevant)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("word").alias("_ws"))
+        .persist()
     )
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    da = docsets.select(F.col("doc_id").alias("doc_a"), F.col("_ws").alias("_wa"))
+    db = docsets.select(F.col("doc_id").alias("doc_b"), F.col("_ws").alias("_wb"))
+    n_inter = F.size(F.array_intersect("_wa", "_wb"))
+    na, nb = F.size("_wa"), F.size("_wb")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
-            ),
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.alias("n_inter"),
+            F.round(n_inter / (na + nb - n_inter), 6).alias("jaccard"),
         )
+        .filter(F.col("n_inter") >= 1)
         .select("doc_a", "doc_b", "jaccard")
     )
 
