@@ -29,8 +29,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """_t + round-robin repartition to the session's core count.
+def _tp(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """_t + HASH repartition (on ``keys``) to the session's core count.
 
     The sf test tables are single-file, SINGLE-ROW-GROUP parquet, and a
     row group is parquet's unit of scan parallelism — so every scan
@@ -41,9 +43,18 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (KB-MB here) to buy back N-way parallelism; it is applied per
     query below only where per-row work dominates, because a real
     multi-row-group corpus would get the parallelism from the scan
-    itself and the extra exchange would be pure overhead."""
+    itself and the extra exchange would be pure overhead.
+
+    Round-7 second pass: HASH partitioning on the table's unique key,
+    never keyless round-robin — `repartition(n)` pays its
+    sort-before-repartition (SPARK-23207) INSIDE the single scan task,
+    i.e. a serial sort of the whole table before any parallelism is
+    bought (measured: the sort was the bulk of several queries'
+    fan-out cost; see OPTIMIZATION_r07.md). A unique key spreads as
+    evenly as round-robin, and a downstream aggregate/window keyed on
+    (a superset of) it reuses the exchange outright (guide §2.4)."""
     return _t(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, *keys
     )
 
 
@@ -608,15 +619,29 @@ def _t_rep_signals(spark, sf):
 
 # -- link-graph analytics -------------------------------------------------------
 
-def _g_edges(spark, sf):
+def _g_edges(spark, sf, fan_out=False):
     # deterministic directed multigraph derived from lineitem: 1009
     # nodes, ~60k edges at sf0.01, 12 dangling nodes (dst-only) so the
-    # dangling-mass path is exercised
-    li = _t(spark, sf, "lineitem")
-    return li.select(
+    # dangling-mass path is exercised. fan_out: the _tp rationale for
+    # the iterative consumers — their first op is _weighted_edges'
+    # (src, dst) partial aggregate (~1M groups at 6M rows), which
+    # otherwise runs inside the single-row-group scan's ONE task; only
+    # the two 8-byte key columns cross the exchange.
+    e = _t(spark, sf, "lineitem").select(
         (F.col("l_orderkey") % 997).cast("long").alias("src"),
         (F.col("l_partkey") % 1009).cast("long").alias("dst"),
     )
+    if fan_out:
+        # HASH repartition on the aggregate key, which the consumer's
+        # groupBy(src, dst) reuses (guide §2.4) — NOT keyless
+        # repartition(n), whose sort-before-repartition (SPARK-23207)
+        # runs inside the single scan task and measured 60% slower
+        # than no fan-out at all. The serial stage is left with
+        # hash + shuffle-write only.
+        e = e.repartition(
+            spark.sparkContext.defaultParallelism, "src", "dst"
+        )
+    return e
 
 
 def _g_degree(spark, sf):
@@ -628,7 +653,9 @@ def _g_degree(spark, sf):
 def _g_pagerank(spark, sf):
     from ironspark.graph import pagerank_fixedpoint
 
-    return pagerank_fixedpoint(_g_edges(spark, sf), iterations=5)
+    return pagerank_fixedpoint(
+        _g_edges(spark, sf, fan_out=True), iterations=5
+    )
 
 
 # -- similarity search ----------------------------------------------------------
@@ -686,7 +713,7 @@ def _docids(spark, sf):
     return (
         _t(spark, sf, "documents")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -698,7 +725,7 @@ def _tpd(spark, sf):
     return (
         _t(spark, sf, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -1093,7 +1120,7 @@ def _p8_canonicalize(spark, sf):
     docs = (
         _t(spark, sf, "documents")
         .select("doc_id", "source")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     raw = F.concat(
         F.lit("HTTP://"),
@@ -1302,7 +1329,9 @@ def _c_url_templates(spark, sf):
     ev = (
         _t(spark, sf, "events")
         .select("user_id", "event_id", "event_type")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "user_id", "event_id"
+        )
     )
     url = F.when(
         F.col("user_id") % 50 == 0,
@@ -1376,14 +1405,19 @@ def _t_incr_dedup(spark, sf):
 def _g_hits(spark, sf):
     from ironspark.graph import hits_fixedpoint
 
-    return hits_fixedpoint(_g_edges(spark, sf), iterations=4)
+    return hits_fixedpoint(_g_edges(spark, sf, fan_out=True), iterations=4)
 
 
 def _t_bpe_tokens(spark, sf):
-    from ironspark.textops import bpe_encode, bpe_train
+    from ironspark.textops import _word_freqs, bpe_encode, bpe_train
 
+    # ONE corpus word-count pass shared by train + encode (round 7):
+    # the lazy localCheckpoint materializes inside bpe_train's vocab
+    # collect and bpe_encode's plan then reads the cached blocks
+    # instead of re-running the explode + aggregate a second time.
     d = _tpd(spark, sf)
-    return bpe_encode(d, bpe_train(d, num_merges=6))
+    w = _word_freqs(d).localCheckpoint(eager=False)
+    return bpe_encode(d, bpe_train(d, num_merges=6, words=w), words=w)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -15,7 +15,7 @@ across engines, partitionings and cluster sizes (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: node-count ceiling under which the per-iteration score table of the
@@ -347,11 +347,15 @@ def connected_components(
     Returns (node, component) with component = min node id of the
     node's component; a component's root labels itself.
 
-    Scale: each round is two node-keyed hash-aggregates (the min over
-    the symmetric neighborhood) plus the re-keyed edge emission — all
-    shuffles keyed on node id, no all-pairs, edge set never grows
-    beyond the input (large-star emits one edge per larger-neighbor,
-    small-star one per smaller-neighbor). Convergence is checked with
+    Scale: each round is two node-keyed WINDOW passes (min over the
+    symmetric neighborhood attached in the same exchange+sort that
+    carries the edge rows — round 7 replaced the groupBy + re-join
+    per half-step, which shuffled the adjacency twice and duplicated
+    the aggregate subtree under the small-star union) plus the
+    re-keyed edge emission — all shuffles keyed on node id, no
+    all-pairs, edge set never grows beyond the input (large-star
+    emits one edge per larger-neighbor, small-star one per
+    smaller-neighbor). Convergence is checked with
     ONE node-keyed aggregate over the round's (checkpointed) edge set:
     the algorithm's fixpoint is exactly the star-forest state — every
     larger endpoint (v side) appears in exactly one edge and never as
@@ -376,19 +380,26 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    def _min_nbr(sym: DataFrame) -> DataFrame:
-        # m(u) = min over the symmetric neighborhood ∪ {u}
-        return sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+    # m(u) = min over the symmetric neighborhood ∪ {u}, attached to
+    # every (u, v) row with ONE window pass (exchange by u + sort)
+    # instead of the round-6 groupBy + re-join, which shuffled the
+    # full adjacency twice per half-step and duplicated the aggregate
+    # subtree under the small-star union (guide §2.4 "share one
+    # exchange"). The whole-partition frame is explicit because the
+    # small-star window also orders by v for its row_number.
+    _full = Window.partitionBy("u").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    _rn = Window.partitionBy("u").orderBy("v")
 
     for _ in range(max_rounds):
         # symmetric adjacency view of the current undirected edge set
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = _min_nbr(sym)
         # large-star: (v, m(u)) for every neighbor v > u
         large = (
-            sym.join(mins, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(_full), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(
                 F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
@@ -397,20 +408,31 @@ def connected_components(
             .distinct()
         )
         # small-star over large-star's output: orient toward the larger
-        # endpoint, re-parent every smaller neighbor (and u itself) to m
+        # endpoint, re-parent every smaller neighbor (and u itself) to
+        # m. Both emissions — (v, m) per row and (u, m) once per u —
+        # come out of ONE windowed pass via a 1-or-2 element explode,
+        # so the upstream pipeline is computed once, not twice.
         tol = large.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        smins = _min_nbr(tol)
+        tol_m = tol.select(
+            "u",
+            "v",
+            F.least(F.min("v").over(_full), F.col("u")).alias("m"),
+            F.row_number().over(_rn).alias("rn"),
+        )
+        pair_vm = F.struct(
+            F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+        )
+        pair_um = F.struct(
+            F.least("u", "m").alias("u"), F.greatest("u", "m").alias("v")
+        )
         small = (
-            tol.join(smins, "u")
-            .select(
-                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            tol_m.select(
+                F.explode(
+                    F.when(F.col("rn") == 1, F.array(pair_vm, pair_um))
+                    .otherwise(F.array(pair_vm))
+                ).alias("p")
             )
-            .unionByName(
-                smins.select(
-                    F.least("u", "m").alias("u"),
-                    F.greatest("u", "m").alias("v"),
-                )
-            )
+            .select("p.u", "p.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()

@@ -754,17 +754,23 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     the scikit-learn convention) — the per-doc keyword/topic signal a
     curation pipeline uses for domain mixing and clustering.
 
-    Scale: tf is one hash-agg on (doc_id, word); df is a second
-    hash-agg on the (already doc-distinct) tf rows; N rides along as a
-    broadcast 1-row cross join so the plan carries no data-dependent
-    literal. The scoring join shuffles tf by word (df at web scale is
-    vocabulary-sized — too big to broadcast safely), then one window
-    partitioned by doc_id ranks. Ties break bytewise on the word.
+    Scale: tf is one hash-agg on (doc_id, word), materialized ONCE
+    (lazy localCheckpoint) because two consumers need it — the df
+    aggregate and the scoring join; without the barrier Spark plans
+    the whole explode + aggregate pipeline twice (no automatic
+    common-subtree sharing), which measured as 2 full corpus passes
+    (round 7, guide §2.4). df is a second hash-agg on the (already
+    doc-distinct) tf rows; N rides along as a broadcast 1-row cross
+    join so the plan carries no data-dependent literal. The scoring
+    join shuffles tf by word (df at web scale is vocabulary-sized —
+    too big to broadcast safely), then one window partitioned by
+    doc_id ranks. Ties break bytewise on the word.
     """
     tf = (
         _words(documents)
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     n = documents.agg(F.count("*").alias("n_docs"))
@@ -1058,10 +1064,26 @@ def repetition_signals(
     )
 
 
+def _word_freqs(documents: DataFrame) -> DataFrame:
+    """Corpus (word, freq) table — the single full-data pass shared by
+    bpe_train and bpe_encode (pass it to both via their ``words``
+    parameter to train + encode off one corpus reduction instead of
+    two, round 7)."""
+    return (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
 def bpe_train(
     documents: DataFrame,
     num_merges: int = 8,
     driver_max_vocab: int = 20_000_000,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed BPE merge learning: the tokenizer-training step of an
     LLM data pipeline, run corpus-side.
@@ -1108,16 +1130,14 @@ def bpe_train(
     localCheckpoint-ed per round to truncate the replace-chain
     lineage. BMP-only symbol split (astral chars would split surrogate
     pairs; fine for web text test corpora and documented here).
+
+    ``words``: optionally pass a precomputed ``_word_freqs`` table
+    (ideally localCheckpoint-ed, shared with a following
+    ``bpe_encode``) so train + encode cost one corpus pass, not two.
     """
     spark = documents.sparkSession
-    words = (
-        documents.select(
-            F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("freq"))
-    )
+    if words is None:
+        words = _word_freqs(documents)
     merges = _bpe_merge_rounds(words, num_merges, driver_max_vocab)
 
     from pyspark.sql.types import (
@@ -1234,7 +1254,11 @@ def _bpe_merge_rounds(
     return merges
 
 
-def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
+def bpe_encode(
+    documents: DataFrame,
+    merges: DataFrame,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Apply a learned BPE merge list (bpe_train's output) to the
     corpus and return the resulting token-frequency table — the
     "tokenize the corpus, count the tokens" step that sizes an LLM
@@ -1258,19 +1282,15 @@ def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
     re-chunked through localCheckpoint every 32 merges so the
     expression tree stays bounded. The final token count is one more
     vocabulary-sized hash-aggregate. No Python in any row path.
+    ``words``: optionally pass the same ``_word_freqs`` table the
+    merges were trained on so train + encode share one corpus pass.
     """
     ranked = sorted(
         merges.select("merge_rank", "lft", "rgt").collect(),
         key=lambda r: r["merge_rank"],
     )
-    words = (
-        documents.select(
-            F.explode(F.split(F.lower(F.col("text")), _WS)).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("freq"))
-    )
+    if words is None:
+        words = _word_freqs(documents)
     cur = words.select(
         F.concat(
             F.lit(" "),

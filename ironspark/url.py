@@ -193,6 +193,11 @@ def url_templates(
     the input) + one join keyed on host; the join's right side is
     hosts-sized (millions of rows at web scale, AQE picks broadcast
     when it fits). Everything is JVM regexp_replace — no Python.
+    per_tmpl feeds both the host-totals aggregate and the join's left
+    side, but its two planned copies share one exchange at runtime
+    (ReuseExchange — the subtrees are canonically identical), so no
+    materialization barrier is needed: measured identical with and
+    without one (round 7 second pass).
     """
     host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     tmpl = template_expr(F.col(url_col))

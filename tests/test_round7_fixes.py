@@ -160,3 +160,53 @@ def test_hits_rejects_zero_iterations(spark):
 def test_near_dup_clusters_rejects_unknown_algorithm(spark):
     with pytest.raises(ValueError):
         near_dup_clusters(_docs(spark, NEAR_DUP_TEXTS), algorithm="stars")
+
+
+def test_bpe_shared_words_matches_unshared(spark):
+    # round-7 second pass: _t_bpe_tokens shares ONE _word_freqs table
+    # between bpe_train and bpe_encode — results must equal the
+    # unshared two-pass shape exactly
+    from ironspark.textops import _word_freqs, bpe_encode, bpe_train
+
+    d = _docs(
+        spark,
+        ["low lower lowest", "newer newest new", "low low newest"] * 3,
+    )
+    w = _word_freqs(d).localCheckpoint(eager=False)
+    m_shared = bpe_train(d, num_merges=5, words=w)
+    m_plain = bpe_train(d, num_merges=5)
+    assert sorted(map(tuple, m_shared.collect())) == sorted(
+        map(tuple, m_plain.collect())
+    )
+    t_shared = {
+        (r["token"], r["n_tokens"])
+        for r in bpe_encode(d, m_shared, words=w).collect()
+    }
+    t_plain = {
+        (r["token"], r["n_tokens"])
+        for r in bpe_encode(d, m_plain).collect()
+    }
+    assert t_shared == t_plain
+
+
+def test_g_edges_fan_out_is_result_identical(spark):
+    # the hash fan-out is a pure repartition: the edge MULTISET must
+    # be byte-identical with and without it
+    import os
+
+    import __spark_entry__ as em
+
+    sfd = "/root/testdata/sf0.001"
+    if not os.path.isdir(sfd):
+        pytest.skip("no testdata in this environment")
+
+    def multiset(fan):
+        return {
+            (r["src"], r["dst"], r["n"])
+            for r in em._g_edges(spark, sfd, fan_out=fan)
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    assert multiset(False) == multiset(True)
