@@ -246,11 +246,18 @@ def hits_fixedpoint(
     hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
     auth = None
     for _ in range(iterations):
+        # araw feeds BOTH the 1-row max and the normalization join;
+        # with the zero-exchange aggregate there is no shuffle for
+        # ReuseExchange to share, so without this barrier the full
+        # weight-table scan + join + aggregate ran TWICE per
+        # half-step (round 7 second pass). The checkpointed frame is
+        # nodes-sized — trivial to hold.
         araw = (
             w.join(_maybe_bc(hub.withColumnRenamed("node", "src")), "src")
             .select("dst", (F.col("w") * F.col("hub")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("araw"))
+            .localCheckpoint(eager=False)
         )
         amax = araw.agg(
             F.coalesce(F.max("araw"), F.lit(1)).cast("long").alias("amax")
@@ -271,6 +278,7 @@ def hits_fixedpoint(
             .select("src", (F.col("w") * F.col("auth")).alias("c"))
             .groupBy("src")
             .agg(F.sum("c").cast("long").alias("hraw"))
+            .localCheckpoint(eager=False)  # same two-consumer barrier as araw
         )
         hmax = hraw.agg(
             F.coalesce(F.max("hraw"), F.lit(1)).cast("long").alias("hmax")
