@@ -115,6 +115,245 @@ class _SpecParseError(Exception):
     builders catch Exception and fail the whole parse — mirror that."""
 
 
+# ---------------------------------------------------------------------------
+# Fast front-ends (round 7). ``_scan`` below remains the referee
+# implementation; the two tiers here are exact-or-bail accelerators:
+#
+# * tier 1 ``_scan_simple``: pages whose WHOLE structure is
+#   text(tag text)* with no charrefs / CDATA / mixed-case article
+#   markers and a plain ``<article>…</article>`` as the outermost first
+#   element get article text from ONE C-level tag-strip and the author
+#   from two slices; only attribute-carrying tags are walked in Python
+#   (to validate them with the spec grammar and harvest hrefs).
+# * tier 2 ``_scan_tokens``: any page matching the text(tag text)*
+#   shape is tokenized by ONE ``findall`` (C) and replayed through the
+#   same state machine as ``_scan``, skipping the per-construct
+#   find/match/group calls of the referee loop.
+#
+# Anything outside a tier's precondition falls through to the next
+# tier, ending at ``_scan`` — so every quirk case (comments, PIs,
+# marked sections, CDATA, junk tags, quoted '>', EOF recovery) is
+# handled by exactly the code the parity suite pins against the
+# html.parser spec. All quantifiers in the tier preconditions are
+# POSSESSIVE: the grammar is deterministic (neither character class
+# can consume '<' or '>'), and the greedy equivalents backtrack
+# exponentially on adversarial unterminated-tag input.
+
+# token: <(/?)(name)(attrs)> (text) — name is the spec tag charset
+# minus '<'/'>', attrs any run free of '<'/'>'
+_TOK = re.compile(
+    r"<(/?+)([a-zA-Z][^\t\n\r\f /><\x00]*+)([^<>]*+)>([^<]*+)"
+)
+# precondition for both tiers: the WHOLE document is text (tag text)*
+_OK = re.compile(
+    r"[^<]*+(?:<(?:/?+)[a-zA-Z][^\t\n\r\f /><\x00]*+[^<>]*+>[^<]*+)*+"
+)
+# start tags that carry attributes (the only ones tier 1 must walk)
+_ATTRTAG = re.compile(r"<([a-zA-Z][^\t\n\r\f /><\x00]*+)([^<>]++)>")
+_TAGSTRIP = re.compile(r"<[^>]*+>")
+# tier-1 deflectors: CDATA elements in any case (their content is raw
+# text, not markup) and article/author markers in anything but exact
+# lowercase (tier 1 searches the lowercase literals)
+_SPECIAL = re.compile(r"(?i)</?+(?:script|style|article|author)")
+
+
+def _attr_start_tag(html: str, lt: int, gtpos: int, want_href: bool):
+    """Validate the start tag at ``lt`` whose first '>' is at ``gtpos``
+    with the spec grammar (mirrors ``_scan``'s slow path).
+
+    Returns (endpos, selfclose, href): endpos == -1 means the tag is
+    junk (degrades to data up to and including ``gtpos``); endpos == -2
+    means the spec locate grammar consumed PAST ``gtpos`` (a quoted
+    '>'), i.e. the caller's tokenization is wrong for this page and it
+    must fall back to ``_scan``.
+    """
+    n = len(html)
+    j = _LOCATE_RE.match(html, lt).end()
+    if j < n and html[j] == ">":
+        endpos = j + 1
+    elif html.startswith("/>", j):
+        endpos = j + 2
+    else:
+        return -1, False, None
+    if endpos != gtpos + 1:
+        return -2, False, None
+    k = _TAGFIND_RE.match(html, lt + 1).end()
+    href = None
+    while k < endpos:
+        am = _ATTR_RE.match(html, k)
+        if am is None:
+            break
+        if want_href and href is None and am.group(1).lower() == "href":
+            rest, v = am.group(2), am.group(3)
+            if rest and v:
+                if v[:1] == "'" == v[-1:] or v[:1] == '"' == v[-1:]:
+                    v = v[1:-1]
+                if v:
+                    # first NON-EMPTY href wins (spec harvester)
+                    href = unescape(v) if "&" in v else v
+        k = am.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        return -1, False, None
+    # selfclose is decided by the TRAILING '/>' after the attribute
+    # walk, exactly as in ``_scan`` — the locate grammar can absorb the
+    # '/' of '<x/>' into its [\s/]* run, so the j-branch alone is wrong
+    return endpos, end == "/>", href
+
+
+def _scan_simple(html: str) -> tuple[str | None, str | None, list[str]]:
+    """Tier 1: article text via one C-level tag strip. Exact-or-bail."""
+    if "&" in html or _OK.fullmatch(html) is None:
+        return _scan_tokens(html)
+    for m in _SPECIAL.finditer(html):
+        t = m.group()
+        u = t.lower()
+        if "scr" in u or "sty" in u or t != u:
+            return _scan_tokens(html)
+    p = html.find("<article")
+    if p != -1:
+        # the plain '<article>' must be the document's FIRST tag (so
+        # nothing is open beneath it and no stray end tag can pop
+        # through it), closed by a plain '</article>' with no second
+        # '<article' before the close
+        if p != html.find("<") or not html.startswith("<article>", p):
+            return _scan_tokens(html)
+        e = html.find("</article")
+        if e == -1 or not html.startswith("</article>", e) or \
+                html.find("<article", p + 1, e) != -1:
+            return _scan_tokens(html)
+    hrefs: list[str] = []
+    for m in _ATTRTAG.finditer(html):
+        endpos, _sc, href = _attr_start_tag(
+            html, m.start(), m.end() - 1, m.group(1).lower() == "a"
+        )
+        if endpos < 0:
+            # junk start tags emit data (not strip-safe) and quoted
+            # '>' re-tokenizes the page — both bail to tier 2
+            return _scan_tokens(html)
+        if href:
+            hrefs.append(href)
+    if p == -1:
+        return None, None, hrefs
+    article = _TAGSTRIP.sub("", html[p + 9:e])
+    author = None
+    q = html.find("<author", p)
+    if q != -1 and q < e:
+        # direct child with text-only gaps: no tag between article
+        # open and author open, none inside author
+        if not html.startswith("<author>", q) or html.find("<", p + 9) != q:
+            return _scan_tokens(html)
+        qe = html.find("</author", q)
+        if qe == -1 or not html.startswith("</author>", qe) or \
+                html.find("<", q + 8, qe) != -1:
+            return _scan_tokens(html)
+        author = html[q + 8:qe]
+    return article, author, hrefs
+
+
+def _scan_tokens(html: str) -> tuple[str | None, str | None, list[str]]:
+    """Tier 2: one findall tokenization feeding ``_scan``'s state
+    machine. Bails to ``_scan`` on CDATA elements or tokenization
+    mismatches (quoted '>')."""
+    if _OK.fullmatch(html) is None:
+        return _scan(html)
+    stack: list[str] = []
+    art_idx = -1
+    art_seen = False
+    art_parts: list[str] = []
+    auth_idx = -1
+    auth_seen = False
+    auth_parts: list[str] = []
+    hrefs: list[str] = []
+    first = html.find("<")
+    pos = len(html) if first < 0 else first
+
+    for slash, name_raw, attrs, txt in _TOK.findall(html):
+        lt = pos
+        gtpos = lt + 1 + len(slash) + len(name_raw) + len(attrs)
+        pos = gtpos + 1 + len(txt)
+        name = name_raw.lower()
+        if slash:
+            # end tag: pop to the innermost match (attr junk ignored —
+            # the spec consumes to the first '>', which is gtpos here)
+            for j in range(len(stack) - 1, -1, -1):
+                if stack[j] == name:
+                    del stack[j:]
+                    if auth_idx >= 0 and j <= auth_idx:
+                        auth_idx = -1
+                    if art_idx >= 0 and j <= art_idx:
+                        art_idx = -1
+                    break
+        elif not attrs:
+            # attribute-less start tag — the fast majority
+            if name == "article" and not art_seen:
+                art_seen = True
+                stack.append(name)
+                art_idx = len(stack) - 1
+            elif (
+                name == "author"
+                and not auth_seen
+                and art_idx >= 0
+                and len(stack) == art_idx + 1
+            ):
+                auth_seen = True
+                stack.append(name)
+                auth_idx = len(stack) - 1
+            elif name not in _VOID:
+                if name in _CDATA_END:
+                    return _scan(html)  # CDATA raw-text semantics
+                stack.append(name)
+        else:
+            endpos, selfclose, href = _attr_start_tag(
+                html, lt, gtpos, name == "a"
+            )
+            if endpos == -2:
+                return _scan(html)  # quoted '>': tokenization is wrong
+            if endpos == -1:
+                # junk start tag degrades to data up to and including
+                # the first '>', which is gtpos by construction
+                if art_idx >= 0:
+                    s = html[lt:gtpos + 1]
+                    if "&" in s:
+                        s = unescape(s)
+                    art_parts.append(s)
+                    if auth_idx >= 0:
+                        auth_parts.append(s)
+            else:
+                if href:
+                    hrefs.append(href)
+                at = len(stack)
+                if name == "article" and not art_seen:
+                    art_seen = True
+                    if not selfclose:
+                        stack.append(name)
+                        art_idx = at
+                elif (
+                    name == "author"
+                    and not auth_seen
+                    and art_idx >= 0
+                    and at == art_idx + 1
+                ):
+                    auth_seen = True
+                    if not selfclose:
+                        stack.append(name)
+                        auth_idx = at
+                elif not selfclose and name not in _VOID:
+                    if name in _CDATA_END:
+                        return _scan(html)
+                    stack.append(name)
+        if txt and art_idx >= 0:
+            if "&" in txt:
+                txt = unescape(txt)
+            art_parts.append(txt)
+            if auth_idx >= 0:
+                auth_parts.append(txt)
+
+    article_text = "".join(art_parts) if art_seen else None
+    author_text = "".join(auth_parts) if auth_seen else None
+    return article_text, author_text, hrefs
+
+
 def scan_page(html: str) -> tuple[str | None, str | None, list[str]]:
     """(article_text, author_text, hrefs) in one linear pass.
 
@@ -124,7 +363,7 @@ def scan_page(html: str) -> tuple[str | None, str | None, list[str]]:
     document order, empty values dropped.
     """
     try:
-        return _scan(html)
+        return _scan_simple(html)
     except _SpecParseError:
         # spec tree builders catch feed() exceptions and fail the parse
         return None, None, []

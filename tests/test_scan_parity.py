@@ -181,3 +181,75 @@ def test_unsafe_bytes_in_absolute_href():
     ]:
         assert harvest_links(html, BASE) == harvest_links_spec(html, BASE), html
         assert harvest_links(html, BASE) == want, html
+
+
+# --- round-7 fast front-ends: tier parity + precondition pins ----------
+
+
+TIER_FIXTURES = [
+    # tier-1 shape (the graph_page grammar)
+    '<article>Article 7<author>Author 3</author><p>w <b>x</b> y</p>'
+    '<a href="http://a.example.com/page/1">p1</a></article>',
+    "<article>Article 9 no author</article>",
+    '<div>plain<a href="./rel">r</a></div>',
+    "no tags at all",
+    # tier-1 deflectors (each must land in tier 2 or _scan with the
+    # same result): charrefs, CDATA, mixed-case markers, nested
+    # article, attr-carrying author, non-direct-child author
+    "<article>a &amp; b<author>A</author></article>",
+    "<article>s<script>x<b></script>t</article>",
+    "<ARTICLE>x<AUTHOR>a</AUTHOR></ARTICLE>",
+    "<article>n1<article>n2</article></article>",
+    "<article>a<author x=1>A</author></article>",
+    "<article>a<div><author>deep</author></div>b</article>",
+    "<article/>after",
+    "<article>a<author/>b</article>",
+    # tokenizer deflectors: quoted '>', comments, junk start tags
+    '<article><a href="q>r">x</a></article>',
+    "<!-- c --><article>t</article>",
+    "<article><b =junk>t</b></article>",
+    "<article><b junk=\"unclosed>text</b></article>",
+    "<article>t</article >u",
+    "<div><article>not-first-tag</article></div>",
+    "pre-text<article>t</article>",
+]
+
+
+@pytest.mark.parametrize("html", TIER_FIXTURES)
+def test_tier_parity(html):
+    from ironspark.scan import _scan, _scan_simple, _scan_tokens
+
+    assert _scan_simple(html) == _scan(html), html
+    assert _scan_tokens(html) == _scan(html), html
+
+
+def test_tier1_taken_on_corpus_shape(monkeypatch):
+    """The benchmark-corpus page grammar must stay on the tag-strip
+    tier — if a precondition rots, this fails loudly instead of
+    silently falling back to the slow path."""
+    import ironspark.scan as scan_mod
+
+    def boom(html):  # pragma: no cover - failure path
+        raise AssertionError("tier 1 fell back on a corpus-shaped page")
+
+    monkeypatch.setattr(scan_mod, "_scan_tokens", boom)
+    for pid in (0, 1, 2, 991 + 7):  # incl. the no-author variant
+        page = graph_page(pid, 5000, 20, filler_words=120, markup_every=2)
+        html = page["html"].decode("utf-8")
+        art, author, hrefs = scan_mod._scan_simple(html)
+        assert art is not None
+
+
+def test_precondition_regex_is_linear():
+    """The tier preconditions use possessive quantifiers; the greedy
+    equivalent backtracks exponentially on unterminated-tag soup
+    (~2 s at 23 repetitions, doubling per rep). 400 reps must be
+    effectively instant."""
+    import time
+
+    from ironspark.scan import scan_page
+
+    evil = "<ab>" * 400 + "<a href="
+    t0 = time.perf_counter()
+    scan_page(evil)
+    assert time.perf_counter() - t0 < 1.0
